@@ -1,0 +1,19 @@
+"""Ray-Data-native as-of join + windowed feature-engineering engine.
+
+A from-scratch reimagining of the reference repo
+aakashrav/MolecularFeatureEngineering's per-entity descriptor-extraction +
+clustering pipeline (SURVEY.md §1.2 concept map) as a point-in-time / as-of
+join + windowed feature system over tables of image+caption pairs, built
+Ray-Data-first: every stage is a `ray.data.Dataset` transform
+(`map_batches` over zero-copy Arrow batches, actor pools for stateful
+stages, explicit hash/salt partitioning for the wide steps).
+
+NOTE ON CITATIONS: `/root/reference/` was empty at survey time
+(SURVEY.md §0), so reference parity is discharged against the in-repo
+sequential oracle (`engine/oracle.py`) and DuckDB SQL, per SURVEY.md §5.2.
+
+This package never calls ``ray.init()`` — the driver / bench / tests own
+the Ray session (driver contract, ``__ray_entry__.py``).
+"""
+
+__version__ = "0.1.0"
