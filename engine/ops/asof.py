@@ -1,0 +1,176 @@
+"""Point-in-time (as-of) join — SURVEY.md §2.4 J1, the heart of the engine.
+
+Semantics: for each left row (entity e, timestamp t), attach the right row
+for the same entity with the greatest right.ts <= t (strict: < t), subject
+to an optional tolerance t - right.ts <= tolerance_us. Ties on right.ts
+resolve to the LAST right row in input order (matches DuckDB ASOF JOIN's
+"most recent" with a stable sort). Unmatched left rows keep nulls
+(left-join semantics). Zero temporal leakage: no right row with ts > t
+(>= t when strict) can ever influence the output — property-tested in
+tests/test_leakage.py.
+
+Physical plan (Ray-Data-first, SURVEY.md §3 E2):
+  1. both sides get __pkey = stable_hash(entity) % P  (same P, same hash
+     -> co-partitioned; ONE all-to-all exchange total);
+  2. schemas are aligned (right value columns suffixed, missing columns
+     null) and the sides unioned with a __side tag;
+  3. groupby(__pkey).map_groups runs a fully vectorized sort +
+     binary-search merge per partition: entity codes x dense timestamp
+     ranks form a composite int64 key, np.searchsorted finds the as-of
+     match for every left row at once.
+
+Entities are never split across partitions, so partition boundaries can't
+leak history (the W5 watermark-boundary concern arises only in the
+time-sliced variant, engine/ops/backfill.py::asof_time_sliced).
+
+At 10^12-row scale the inputs to this operator are fixed-width descriptor
+rows (pixels never enter the shuffle, SURVEY.md §4.1); P defaults to
+cfg.num_partitions (>=4x cores).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from engine.config import DEFAULT
+from engine.ops.keys import partition_ids
+
+_SIDE = "__side"
+_PKEY = "__pkey"
+
+
+def _null_array(n: int, typ: pa.DataType) -> pa.Array:
+    return pa.nulls(n, type=typ)
+
+
+def asof_join(
+    left,
+    right,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list | None = None,
+    strict: bool = False,
+    tolerance_us: int | None = None,
+    suffix: str = "_r",
+    num_partitions: int | None = None,
+    include_right_ts: bool = True,
+):
+    """left, right: ray.data.Dataset -> Dataset with left columns +
+    suffixed right value columns (+ matched right ts)."""
+    from engine.ops.util import arrow_schema, norm_ts
+
+    P = num_partitions or DEFAULT.num_partitions
+    lraw, rraw = arrow_schema(left), arrow_schema(right)
+    lschema = pa.schema([pa.field(n, norm_ts(lraw.field(n).type)) for n in lraw.names])
+    rschema = pa.schema([pa.field(n, norm_ts(rraw.field(n).type)) for n in rraw.names])
+    if right_cols is None:
+        right_cols = [n for n in rschema.names if n not in (on, right_ts)]
+
+    out_right_fields = []
+    if include_right_ts:
+        out_right_fields.append(pa.field(right_ts + suffix, rschema.field(right_ts).type))
+    for c in right_cols:
+        out_right_fields.append(pa.field(c + suffix, rschema.field(c).type))
+
+    unified = pa.schema(
+        [pa.field(n, lschema.field(n).type) for n in lschema.names]
+        + out_right_fields
+        + [pa.field("__rts", rschema.field(right_ts).type), pa.field(_SIDE, pa.int8()), pa.field(_PKEY, pa.int32())]
+    )
+    left_names = list(lschema.names)
+    rval_names = [f.name for f in out_right_fields]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {name: t[name] for name in left_names}
+        for f in out_right_fields:
+            cols[f.name] = _null_array(n, f.type)
+        cols["__rts"] = _null_array(n, rschema.field(right_ts).type)
+        cols[_SIDE] = pa.array(np.zeros(n, np.int8))
+        cols[_PKEY] = pa.array(partition_ids(t[on], P), type=pa.int32())
+        return pa.table(cols).cast(unified)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for name in left_names:
+            cols[name] = t[on] if name == on else _null_array(n, lschema.field(name).type)
+        if include_right_ts:
+            cols[right_ts + suffix] = t[right_ts]
+        for c in right_cols:
+            cols[c + suffix] = t[c]
+        cols["__rts"] = t[right_ts]
+        cols[_SIDE] = pa.array(np.ones(n, np.int8))
+        cols[_PKEY] = pa.array(partition_ids(t[on], P), type=pa.int32())
+        return pa.table(cols).cast(unified)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    out_schema = pa.schema([pa.field(n, lschema.field(n).type) for n in left_names] + out_right_fields)
+    merge = _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
+                        strict=strict, tolerance_us=tolerance_us)
+    return tagged.groupby(_PKEY).map_groups(merge, batch_format="pyarrow")
+
+
+def _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
+                strict: bool, tolerance_us: int | None):
+    """Vectorized per-partition sort+binary-search as-of merge, shared by
+    the entity-hash path (asof_join) and the time-sliced W5 path
+    (engine/ops/backfill.py::asof_time_sliced)."""
+    rval_names = [f.name for f in out_right_fields]
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group[_SIDE].to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(side == 0)).select(left_names)
+        rt = group.filter(pa.array(side == 1)).select([on, "__rts"] + rval_names)
+        nl, nr = lt.num_rows, rt.num_rows
+        if nl == 0:
+            return pa.table({f.name: pa.chunked_array([], type=f.type) for f in out_schema}, schema=out_schema)
+
+        lkeys = lt[on].to_numpy(zero_copy_only=False)
+        lts = lt[left_ts].cast(pa.int64()).to_numpy(zero_copy_only=False) if pa.types.is_timestamp(
+            lschema.field(left_ts).type
+        ) else lt[left_ts].to_numpy(zero_copy_only=False)
+        if nr == 0:
+            cols = {name: lt[name] for name in left_names}
+            for f in out_right_fields:
+                cols[f.name] = _null_array(nl, f.type)
+            return pa.table(cols, schema=out_schema)
+
+        rkeys = rt[on].to_numpy(zero_copy_only=False)
+        rts = rt["__rts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+        # entity codes consistent across both sides
+        uni, inv = np.unique(np.concatenate([lkeys, rkeys]), return_inverse=True)
+        lcode, rcode = inv[:nl].astype(np.int64), inv[nl:].astype(np.int64)
+        # dense timestamp ranks -> composite key fits int64
+        uts, tinv = np.unique(np.concatenate([lts, rts]), return_inverse=True)
+        lrank, rrank = tinv[:nl].astype(np.int64), tinv[nl:].astype(np.int64)
+        factor = np.int64(len(uts) + 1)
+        rkey = rcode * factor + rrank
+        order = np.argsort(rkey, kind="stable")  # stable: ties keep input order
+        rkey_s = rkey[order]
+        lkey = lcode * factor + lrank
+
+        side_kw = "left" if strict else "right"
+        idx = np.searchsorted(rkey_s, lkey, side=side_kw) - 1
+        valid = idx >= 0
+        safe = np.where(valid, idx, 0)
+        valid &= rcode[order[safe]] == lcode
+        if tolerance_us is not None:
+            valid &= (lts - rts[order[safe]]) <= tolerance_us
+        take_pos = np.where(valid, order[safe], -1)
+        take_idx = pa.array(
+            np.where(valid, take_pos, 0).astype(np.int64), mask=~valid
+        )
+
+        cols = {name: lt[name] for name in left_names}
+        for f in out_right_fields:
+            cols[f.name] = rt[f.name].take(take_idx)
+        return pa.table(cols, schema=out_schema)
+
+    return merge

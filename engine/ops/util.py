@@ -1,0 +1,38 @@
+"""Dataset schema utilities shared by the shuffle operators.
+
+Ray Datasets created from pandas carry pandas-block schemas (object
+dtype, ns timestamps); parquet reads carry Arrow schemas (us
+timestamps). The shuffle operators align both sides into one Arrow
+schema, so: (1) resolve a real pyarrow.Schema for any dataset, and
+(2) normalize every timestamp column to timestamp[us] — mixing ns and
+us integer values inside a binary-search merge would be silently wrong.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def arrow_schema(ds) -> pa.Schema:
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    # pandas-block dataset: infer from one materialized row (cheap; only
+    # hit for driver-side test inputs — parquet reads are Arrow-native)
+    df = ds.limit(1).to_pandas()
+    return pa.Table.from_pandas(df, preserve_index=False).schema
+
+
+def norm_ts(t: pa.DataType) -> pa.DataType:
+    return pa.timestamp("us") if pa.types.is_timestamp(t) else t
+
+
+def normed_fields(schema: pa.Schema, names) -> list:
+    return [pa.field(n, norm_ts(schema.field(n).type)) for n in names]
+
+
+def cast_table(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    if t.schema.equals(schema):
+        return t
+    return t.cast(schema)

@@ -1,0 +1,97 @@
+"""As-of join vs DuckDB ASOF JOIN + the sequential oracle (SURVEY §2.4 J1)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import pyarrow as pa
+
+from engine.ops.asof import asof_join
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    return c
+
+
+def _sides(ray_session):
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    left = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "view")), batch_format="pyarrow")
+    right = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow")
+    return left, right
+
+
+def _duck(con, op: str) -> pd.DataFrame:
+    return con.execute(f"""
+        SELECT l.event_id, r.ts AS ts_r, r.value AS value_r
+        FROM (SELECT * FROM events WHERE event_type='view') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
+          ON l.user_id = r.user_id AND l.ts {op} r.ts
+        ORDER BY l.event_id""").fetchdf()
+
+
+@pytest.mark.parametrize("strict,op", [(False, ">="), (True, ">")])
+def test_asof_matches_duckdb(ray_session, con, strict, op):
+    left, right = _sides(ray_session)
+    got = (
+        asof_join(left, right, on="user_id", right_cols=["value"], strict=strict, num_partitions=7)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = _duck(con, op)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "ts_r", "value_r"]], exp[["event_id", "ts_r", "value_r"]], check_dtype=False
+    )
+
+
+def test_asof_tolerance(ray_session, con):
+    left, right = _sides(ray_session)
+    got = (
+        asof_join(left, right, on="user_id", right_cols=["value"], tolerance_us=3_600_000_000,
+                  num_partitions=5)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = _duck(con, ">=")
+    lts = con.execute("SELECT event_id, ts FROM events WHERE event_type='view' ORDER BY event_id").fetchdf()
+    exp = exp.merge(lts, on="event_id")
+    stale = (exp["ts"] - exp["ts_r"]) > pd.Timedelta(hours=1)
+    exp.loc[stale, "ts_r"] = pd.NaT
+    exp.loc[stale, "value_r"] = np.nan
+    pd.testing.assert_frame_equal(
+        got[["event_id", "ts_r", "value_r"]], exp[["event_id", "ts_r", "value_r"]], check_dtype=False
+    )
+
+
+def test_asof_no_right_rows_for_entity(ray_session):
+    """Entities absent from the right side keep nulls (left-join semantics)."""
+    import ray.data as rd
+
+    left = rd.from_pandas(pd.DataFrame({"e": ["a", "b"], "ts": pd.to_datetime(["2024-01-02", "2024-01-02"])}))
+    right = rd.from_pandas(
+        pd.DataFrame({"e": ["a"], "ts": pd.to_datetime(["2024-01-01"]), "v": [1.5]})
+    )
+    got = asof_join(left, right, on="e", right_cols=["v"], num_partitions=3).to_pandas().sort_values("e")
+    assert got.loc[got["e"] == "a", "v_r"].iloc[0] == 1.5
+    assert pd.isna(got.loc[got["e"] == "b", "v_r"].iloc[0])
+
+
+def test_asof_tie_picks_last_right_row(ray_session):
+    """Duplicate right ts for one entity -> last row in input order wins."""
+    import ray.data as rd
+
+    left = rd.from_pandas(pd.DataFrame({"e": ["a"], "ts": pd.to_datetime(["2024-01-02"])}))
+    right = rd.from_pandas(
+        pd.DataFrame({"e": ["a", "a"], "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]), "v": [1.0, 2.0]})
+    )
+    got = asof_join(left, right, on="e", right_cols=["v"], num_partitions=2).to_pandas()
+    assert got["v_r"].iloc[0] == 2.0

@@ -1,0 +1,85 @@
+"""Lag/lead + rolling window vs DuckDB window functions (SURVEY §2.4 W1/W2)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from engine.ops.window import rolling, with_lag_lead
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    return c
+
+
+def test_lag_lead_matches_duckdb(ray_session, con):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = (
+        with_lag_lead(ev, entity="user_id", cols=["value"], lags=[1, 2], leads=[1],
+                      tie_break="event_id", num_partitions=6)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = con.execute("""
+        SELECT event_id,
+               LAG(value, 1) OVER w AS lag1_value,
+               LAG(value, 2) OVER w AS lag2_value,
+               LEAD(value, 1) OVER w AS lead1_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id""").fetchdf()
+    for c in ["lag1_value", "lag2_value", "lead1_value"]:
+        np.testing.assert_allclose(got[c].to_numpy(), exp[c].to_numpy(), rtol=1e-12, err_msg=c)
+
+
+def test_rolling_matches_duckdb(ray_session, con):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = (
+        rolling(ev, entity="user_id", cols=["value"], window_us=24 * 3600 * 1_000_000,
+                aggs=["count", "sum", "mean", "min", "max"], num_partitions=6)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = con.execute("""
+        SELECT event_id,
+               COUNT(value) OVER w AS roll_count_value,
+               SUM(value)   OVER w AS roll_sum_value,
+               AVG(value)   OVER w AS roll_mean_value,
+               MIN(value)   OVER w AS roll_min_value,
+               MAX(value)   OVER w AS roll_max_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""").fetchdf()
+    for c in ["roll_count_value", "roll_sum_value", "roll_mean_value", "roll_min_value", "roll_max_value"]:
+        np.testing.assert_allclose(got[c].to_numpy(), exp[c].to_numpy(), rtol=1e-9, err_msg=c)
+
+
+def test_rolling_peers_inclusive(ray_session):
+    """Rows sharing a timestamp see each other (SQL RANGE semantics)."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "e": ["a"] * 3,
+        "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 2 + ["2024-01-01 00:00:01"]),
+        "v": [1.0, 2.0, 4.0],
+        "id": [0, 1, 2],
+    })
+    got = (
+        rolling(rd.from_pandas(df), entity="e", cols=["v"], window_us=10_000_000,
+                aggs=["sum"], tie_break="id", num_partitions=2)
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert list(got["roll_sum_v"]) == [3.0, 3.0, 7.0]
