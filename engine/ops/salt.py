@@ -1,0 +1,61 @@
+"""Skew handling: salt planning + salted two-level aggregation
+(SURVEY.md §2.4 J2, §4.2 — "explicit salting for skewed phash clusters").
+
+plan_salts samples the dataset (A7: sampled histogram, no sketch
+dependency offline), finds keys whose estimated row count exceeds
+`threshold x mean`, and assigns each a fan-out S (power of two, capped).
+apply_salt adds __salt = stable_hash(tie_col) % S_key so one hot key
+spreads over S partitions; unsalted keys get __salt = 0. Aggregations
+then run per (key, salt) first (partial) and re-combine per key (final)
+— see engine/ops/cluster.py for the two-level pattern in use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from engine.config import DEFAULT
+from engine.ops.keys import stable_hash
+
+
+def plan_salts(ds, key: str, sample_frac: float = 0.05, threshold: float | None = None,
+               max_salt: int | None = None, seed: int = 42) -> dict:
+    """-> {key_value: fanout S} for hot keys only (driver-side small dict)."""
+    threshold = threshold or DEFAULT.salt_threshold
+    max_salt = max_salt or DEFAULT.max_salt
+    sample = ds.select_columns([key]).random_sample(sample_frac, seed=seed).to_pandas()
+    if len(sample) == 0:
+        return {}
+    counts = sample[key].value_counts()
+    mean = counts.mean()
+    hot = counts[counts > threshold * mean]
+    out = {}
+    for k, c in hot.items():
+        s = int(min(max_salt, 2 ** int(np.ceil(np.log2(max(2.0, c / mean))))))
+        out[k] = s
+    return out
+
+
+def apply_salt(ds, key: str, salt_map: dict, tie_col: str):
+    """Adds __salt int32. tie_col: any roughly-unique column used to spread
+    a hot key's rows deterministically across its S sub-buckets."""
+    import ray
+
+    ref = ray.put(salt_map)
+
+    def add(t: pa.Table) -> pa.Table:
+        sm = ray.get(ref)
+        n = t.num_rows
+        salts = np.zeros(n, dtype=np.int32)
+        if sm:
+            keys = t[key].to_numpy(zero_copy_only=False)
+            fan = np.array([sm.get(k, 1) for k in keys], dtype=np.uint64)
+            hot = fan > 1
+            if hot.any():
+                h = stable_hash(t[tie_col])
+                salts[hot] = (h[hot] % fan[hot]).astype(np.int32)
+        return t.append_column("__salt", pa.array(salts, type=pa.int32()))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
