@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself, then ``entry()`` as a smoke check,
+then runs each ``queries()[name](sf_dir)`` at sf=0.01 against
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash). Neither this module nor the engine package ever calls
+``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Catalog lives in engine/queries.py (SQL-checked operators) and
+engine/queries_ml.py (dedup/similarity/text/multimodal ops; rows-only
+where SQL cannot express them).
 """
 
 from __future__ import annotations
@@ -20,25 +18,34 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: as-of attach + fused windowed features over sf0.001
+    events (engine/pipelines/flagship.py); returns a ray.data.Dataset."""
+    from engine.pipelines.flagship import events_flagship
+
+    return events_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from engine.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    try:
+        from engine.queries_ml import QUERIES_ML
+
+        out.update(QUERIES_ML)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from engine.queries import ORACLE_SQL
+
+    out = dict(ORACLE_SQL)
+    try:
+        from engine.queries_ml import ORACLE_SQL_ML
+
+        out.update(ORACLE_SQL_ML)
+    except ImportError:
+        pass
+    return out

@@ -15,6 +15,17 @@ import pyarrow as pa
 from engine.config import DEFAULT
 
 
+def _join_partitions() -> int:
+    """Dataset.join spawns hash-shuffle aggregator actors that must ALL be
+    placed before the join makes progress; asking for more partitions than
+    ~2x the cluster's CPUs deadlocks a small cluster (observed: P=128 on 8
+    CPUs never starts; P=16 is fine). Default to min(cfg, 2 x CPUs)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(DEFAULT.num_partitions, 2 * cpus))
+
+
 def equi_join(left, right, on, join_type: str = "inner", num_partitions: int | None = None,
               right_on=None, left_suffix: str = "", right_suffix: str = "_r"):
     on = (on,) if isinstance(on, str) else tuple(on)
@@ -22,7 +33,7 @@ def equi_join(left, right, on, join_type: str = "inner", num_partitions: int | N
     return left.join(
         right,
         join_type=join_type,
-        num_partitions=num_partitions or DEFAULT.num_partitions,
+        num_partitions=num_partitions or _join_partitions(),
         on=on,
         right_on=right_on,
         left_suffix=left_suffix or None,

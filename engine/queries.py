@@ -1,0 +1,504 @@
+"""Driver-contract query catalog (SURVEY.md §5.3).
+
+One entry per implemented operator family: QUERIES maps name -> callable
+(sf_dir) -> Dataset / DataFrame / Table; ORACLE_SQL maps the same name to
+the equivalent DuckDB SQL over the pre-registered testdata views. Names
+of computed columns MATCH between both sides (driver hashes values after
+sorting columns by name).
+
+Float discipline: any aggregate produced by a nondeterministic-order
+distributed sum is rounded on BOTH sides (sql_round mirrors DuckDB's
+half-away-from-zero double rounding) so the driver's exact value-hash
+comparison is stable. Pass-through values (as-of matches, lag/lead) are
+bit-exact and not rounded.
+
+Entries with no ORACLE_SQL (minhash/simhash/ann/langid/image flagship)
+are checked rows-only by the driver and by in-repo pytest oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def sql_round(x, d: int):
+    """DuckDB-compatible ROUND(double, d): half away from zero."""
+    m = 10.0 ** d
+    arr = np.asarray(x, dtype=np.float64)
+    return np.where(np.isnan(arr), arr, np.trunc(np.abs(arr) * m + 0.5) / m * np.where(arr < 0, -1.0, 1.0))
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _filter_type(ds, et: str):
+    return ds.map_batches(lambda t: t.filter(pc.equal(t["event_type"], et)), batch_format="pyarrow")
+
+
+# ------------------------------------------------------- as-of / windows --
+
+def q_asof_join(sf_dir):
+    from engine.ops.asof import asof_join
+
+    ev = _read(sf_dir, "events")
+    out = asof_join(_filter_type(ev, "view"), _filter_type(ev, "purchase"),
+                    on="user_id", right_cols=["value"])
+    return out.select_columns(["event_id", "user_id", "ts", "ts_r", "value_r"])
+
+
+def q_asof_strict(sf_dir):
+    from engine.ops.asof import asof_join
+
+    ev = _read(sf_dir, "events")
+    out = asof_join(_filter_type(ev, "view"), _filter_type(ev, "purchase"),
+                    on="user_id", right_cols=["value"], strict=True)
+    return out.select_columns(["event_id", "ts_r", "value_r"])
+
+
+def q_asof_tolerance(sf_dir):
+    from engine.ops.asof import asof_join
+
+    ev = _read(sf_dir, "events")
+    out = asof_join(_filter_type(ev, "view"), _filter_type(ev, "purchase"),
+                    on="user_id", right_cols=["value"], tolerance_us=3_600_000_000)
+    return out.select_columns(["event_id", "ts_r", "value_r"])
+
+
+def q_lag_lead(sf_dir):
+    from engine.ops.window import with_lag_lead
+
+    ev = _read(sf_dir, "events")
+    out = with_lag_lead(ev, entity="user_id", cols=["value"], lags=[1, 2], leads=[1],
+                        tie_break="event_id")
+    return out.select_columns(["event_id", "lag1_value", "lag2_value", "lead1_value"])
+
+
+def q_rolling_24h(sf_dir):
+    from engine.ops.window import rolling
+
+    ev = _read(sf_dir, "events")
+    out = rolling(ev, entity="user_id", cols=["value"], window_us=24 * 3600 * 1_000_000,
+                  aggs=["count", "sum", "mean"]).to_pandas()
+    return pd.DataFrame({
+        "event_id": out["event_id"],
+        "roll_count_value": out["roll_count_value"].astype("int64"),
+        "roll_sum_value": sql_round(out["roll_sum_value"], 6),
+        "roll_mean_value": sql_round(out["roll_mean_value"], 6),
+    })
+
+
+def q_sessionize(sf_dir):
+    from engine.ops.session import sessionize
+
+    ev = _read(sf_dir, "events")
+    out = sessionize(ev, entity="user_id", gap_us=4 * 3600 * 1_000_000, value_col="value",
+                     tie_break="event_id").to_pandas()
+    out["sum_value"] = sql_round(out["sum_value"], 6)
+    return out[["user_id", "session_idx", "start_ts", "end_ts", "n_events", "sum_value"]]
+
+
+def q_backfill_daily(sf_dir):
+    from engine.ops.backfill import backfill
+    from engine.ops.dedup import exact_dedup
+
+    ev = _read(sf_dir, "events")
+
+    def day_grid(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": pc.floor_temporal(t["ts"], unit="day"),
+        })
+
+    grid = exact_dedup(ev.map_batches(day_grid, batch_format="pyarrow"), keys=["user_id", "ts"])
+    out = backfill(grid, ev.select_columns(["user_id", "ts", "value"]), on="user_id",
+                   feature_cols=["value"])
+    return out.select_columns(["user_id", "ts", "ts_r", "value_r"])
+
+
+# ------------------------------------------------------------- tpch-ish --
+
+def q1_pricing_summary(sf_dir):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                        "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "l_extendedprice": t["l_extendedprice"],
+            "disc_price": disc,
+        })
+
+    out = (
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c, d in [("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 4), ("avg_qty", 4)]:
+        out[c] = sql_round(out[c], d)
+    return out
+
+
+def q_topk_orders(sf_dir):
+    return (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_filter_scan(sf_dir):
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(t["l_quantity"], pa.scalar(45.0)),
+                    pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-01-01"))))
+        t = t.filter(m)
+        return pa.table({"l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"]})
+
+    return li.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_join_orders_customer(sf_dir):
+    from ray.data.aggregate import Count, Sum
+
+    from engine.ops.join import equi_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    out = (
+        equi_join(orders, cust, on="o_custkey", right_on="c_custkey")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price"))
+        .to_pandas()
+    )
+    out["sum_price"] = sql_round(out["sum_price"], 2)
+    return out
+
+
+def q_broadcast_nation(sf_dir):
+    from ray.data.aggregate import Count, Sum
+
+    from engine.ops.join import broadcast_lookup
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    out = (
+        broadcast_lookup(cust, nation, on="c_nationkey", right_on="n_nationkey", cols=["n_name"])
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="sum_acctbal"))
+        .to_pandas()
+    )
+    out["sum_acctbal"] = sql_round(out["sum_acctbal"], 2)
+    return out
+
+
+def q_semi_customers(sf_dir):
+    from engine.ops.join import semi_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    return semi_join(cust, orders, on="c_custkey", right_on="o_custkey").select_columns(["c_custkey"])
+
+
+def q_anti_low_value(sf_dir):
+    """Customers with no order above 400k (anti join on a filtered right)."""
+    from engine.ops.join import anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(400_000.0))),
+        batch_format="pyarrow",
+    )
+    out = anti_join(cust, big, on="c_custkey", right_on="o_custkey").to_pandas()
+    if "c_custkey" not in out.columns:  # empty anti result loses schema
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return out[["c_custkey"]]
+
+
+def q_distinct_event_types(sf_dir):
+    vals = _read(sf_dir, "events", columns=["event_type"]).unique("event_type")
+    return pd.DataFrame({"event_type": sorted(vals)})
+
+
+def q_minmax_by_type(sf_dir):
+    from ray.data.aggregate import Count, Max, Min
+
+    return (
+        _read(sf_dir, "events", columns=["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Min("value", alias_name="min_value"),
+                   Max("value", alias_name="max_value"))
+    )
+
+
+def q_union_counts(sf_dir):
+    ev = _read(sf_dir, "events")
+    u = _filter_type(ev, "view").union(_filter_type(ev, "purchase"))
+    return pd.DataFrame({"n": [u.count()]})
+
+
+# -------------------------------------------------------------- scalars --
+
+def q_json_extract(sf_dir):
+    from engine.ops.scalar import json_get_int
+
+    ev = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "k": json_get_int(t["props"], "k")})
+
+    return ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_daily_counts(sf_dir):
+    from ray.data.aggregate import Count
+
+    from engine.ops.scalar import date_trunc_day
+
+    ev = _read(sf_dir, "events", columns=["ts"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"day": date_trunc_day(t["ts"])})
+
+    return ev.map_batches(f, batch_format="pyarrow").groupby("day").aggregate(Count(alias_name="n"))
+
+
+def q_doc_tokens(sf_dir):
+    from engine.ops.scalar import str_token_count
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": str_token_count(t["text"])})
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- dedup --
+
+def q_dedup_events(sf_dir):
+    from engine.ops.dedup import exact_dedup
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+    out = exact_dedup(ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"])
+    return out.select_columns(["event_id"])
+
+
+def q_dedup_text_md5(sf_dir):
+    from engine.ops.dedup import content_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return content_dedup(docs, "text", order_by="doc_id").select_columns(["doc_id"])
+
+
+# ----------------------------------------------------------- embeddings --
+
+def q_embedding_l2(sf_dir):
+    from engine.ops.scalar import l2norm
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t["vec_id"],
+                         "l2": pa.array(sql_round(l2norm(t["embedding"]).to_numpy(), 5))})
+
+    return emb.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_embedding_label_stats(sf_dir):
+    from ray.data.aggregate import Count, Sum
+
+    from engine.ops.scalar import l2norm
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"label": t["label"], "l2": l2norm(t["embedding"])})
+
+    out = (
+        emb.map_batches(f, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n"), Sum("l2", alias_name="sum_l2"))
+        .to_pandas()
+    )
+    out["sum_l2"] = sql_round(out["sum_l2"], 4)
+    return out
+
+
+# ----------------------------------------------- SQL oracle definitions --
+
+SESSION_SQL = """
+WITH d AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 4 HOURS THEN 1 ELSE 0 END AS brk
+  FROM events),
+lab AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_idx
+  FROM d)
+SELECT user_id, session_idx, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM lab GROUP BY user_id, session_idx
+"""
+
+ORACLE_SQL = {
+    "asof_join": """
+        SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_r, r.value AS value_r
+        FROM (SELECT * FROM events WHERE event_type='view') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "asof_strict": """
+        SELECT l.event_id, r.ts AS ts_r, r.value AS value_r
+        FROM (SELECT * FROM events WHERE event_type='view') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
+          ON l.user_id = r.user_id AND l.ts > r.ts""",
+    "asof_tolerance": """
+        WITH j AS (
+          SELECT l.event_id, l.ts AS lts, r.ts AS ts_r, r.value AS value_r
+          FROM (SELECT * FROM events WHERE event_type='view') l
+          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts)
+        SELECT event_id,
+               CASE WHEN lts - ts_r <= INTERVAL 1 HOUR THEN ts_r END AS ts_r,
+               CASE WHEN lts - ts_r <= INTERVAL 1 HOUR THEN value_r END AS value_r
+        FROM j""",
+    "lag_lead": """
+        SELECT event_id,
+               LAG(value, 1) OVER w AS lag1_value,
+               LAG(value, 2) OVER w AS lag2_value,
+               LEAD(value, 1) OVER w AS lead1_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "rolling_24h": """
+        SELECT event_id,
+               COUNT(value) OVER w AS roll_count_value,
+               ROUND(SUM(value) OVER w, 6) AS roll_sum_value,
+               ROUND(AVG(value) OVER w, 6) AS roll_mean_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)""",
+    "sessionize": SESSION_SQL,
+    "backfill_daily": """
+        WITH grid AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS ts FROM events)
+        SELECT g.user_id, g.ts, r.ts AS ts_r, r.value AS value_r
+        FROM grid g
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events) r
+          ON g.user_id = r.user_id AND g.ts >= r.ts""",
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus""",
+    "topk_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "filter_scan": """
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1998-01-01'""",
+    "join_orders_customer": """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""",
+    "broadcast_nation": """
+        SELECT n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+        FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""",
+    "semi_customers": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+    "anti_low_value": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+    "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "minmax_by_type": """
+        SELECT event_type, COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY event_type""",
+    "union_counts": """
+        SELECT COUNT(*) AS n FROM (
+          SELECT * FROM events WHERE event_type='view'
+          UNION ALL SELECT * FROM events WHERE event_type='purchase')""",
+    "json_extract": r"""
+        SELECT event_id, CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k
+        FROM events""",
+    "daily_counts": """
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS n FROM events GROUP BY 1""",
+    "doc_tokens": r"""
+        SELECT doc_id, array_length(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents""",
+    "dedup_events": """
+        SELECT event_id FROM (
+          SELECT event_id, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                              ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn = 1""",
+    "dedup_text_md5": """
+        SELECT doc_id FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1""",
+    "embedding_l2": """
+        SELECT vec_id, ROUND(sqrt(sum(e * e)), 5) AS l2
+        FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+        GROUP BY vec_id""",
+    "embedding_label_stats": """
+        SELECT label, COUNT(*) AS n, ROUND(SUM(l2), 4) AS sum_l2
+        FROM (SELECT label, sqrt(sum(e * e)) AS l2
+              FROM (SELECT vec_id, label, unnest(embedding) AS e FROM embeddings)
+              GROUP BY vec_id, label)
+        GROUP BY label""",
+}
+
+QUERIES = {
+    "asof_join": q_asof_join,
+    "asof_strict": q_asof_strict,
+    "asof_tolerance": q_asof_tolerance,
+    "lag_lead": q_lag_lead,
+    "rolling_24h": q_rolling_24h,
+    "sessionize": q_sessionize,
+    "backfill_daily": q_backfill_daily,
+    "q1_pricing_summary": q1_pricing_summary,
+    "topk_orders": q_topk_orders,
+    "filter_scan": q_filter_scan,
+    "join_orders_customer": q_join_orders_customer,
+    "broadcast_nation": q_broadcast_nation,
+    "semi_customers": q_semi_customers,
+    "anti_low_value": q_anti_low_value,
+    "distinct_event_types": q_distinct_event_types,
+    "minmax_by_type": q_minmax_by_type,
+    "union_counts": q_union_counts,
+    "json_extract": q_json_extract,
+    "daily_counts": q_daily_counts,
+    "doc_tokens": q_doc_tokens,
+    "dedup_events": q_dedup_events,
+    "dedup_text_md5": q_dedup_text_md5,
+    "embedding_l2": q_embedding_l2,
+    "embedding_label_stats": q_embedding_label_stats,
+}
