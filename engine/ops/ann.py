@@ -1,0 +1,149 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Brute-force top-k is the exact baseline: the (small) query matrix is
+broadcast once (ray.put); every batch computes a numpy matmul against it
+and emits ONLY its local top-k candidates per query (k rows per query per
+batch, not the full score matrix), which a single tiny
+groupby(query_id) top-k finalizes. Wall-clock is one streaming pass.
+
+IVF is the scale path: sampled centroids (broadcast), one pass assigns
+each vector to its nearest centroid (the index build); a query probes the
+nprobe nearest centroids and brute-forces only those partitions. Recall
+is tested against brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from engine.ops.neardup import _emb_matrix
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def topk_cosine(ds, queries: np.ndarray, k: int = 5, id_col: str = "vec_id",
+                emb_col: str = "embedding", query_ids: np.ndarray | None = None):
+    """-> Dataset(query_id, vec_id(id_col), score) with k rows per query.
+    Exact brute force, ties broken by id ascending."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids) if query_ids is not None else np.arange(len(q))
+    ref = ray.put((q, qids))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qm, qi = ray.get(ref)
+        m = _normalize(_emb_matrix(t, emb_col))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        scores = qm @ m.T  # (Q, n)
+        kk = min(k, scores.shape[1])
+        # per query: top-k by (-score, id)
+        order = np.lexsort((np.broadcast_to(ids, scores.shape), -scores), axis=1)[:, :kk]
+        rows_q = np.repeat(qi, kk)
+        take = order.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(rows_q.astype(np.int64)),
+            id_col: pa.array(ids[take]),
+            "score": pa.array(np.round(np.take_along_axis(scores, order, axis=1).reshape(-1), 5)),
+        })
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", id_col], ascending=[False, True], kind="stable")
+        return df.head(k)
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------------------ IVF --
+
+def build_ivf(ds, n_centroids: int = 16, id_col: str = "vec_id", emb_col: str = "embedding",
+              sample_frac: float = 0.2, seed: int = 42):
+    """-> (indexed Dataset with centroid_id column, centroids ndarray).
+    Centroids = k-means with one Lloyd step over a sample (deterministic
+    seed); assignment = one broadcast map pass."""
+    import ray
+
+    samp = ds.random_sample(sample_frac, seed=seed).to_pandas()
+    m = _normalize(np.stack(samp[emb_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    init = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    # one Lloyd refinement
+    assign = np.argmax(m @ init.T, axis=1)
+    cents = np.stack([
+        _normalize(m[assign == c].mean(axis=0, keepdims=True))[0] if (assign == c).any() else init[c]
+        for c in range(len(init))
+    ])
+    ref = ray.put(cents)
+
+    def tag(t: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        mm = _normalize(_emb_matrix(t, emb_col))
+        cid = np.argmax(mm @ cm.T, axis=1).astype(np.int32)
+        return t.append_column("centroid_id", pa.array(cid))
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True), cents
+
+
+def topk_cosine_ivf(indexed_ds, centroids: np.ndarray, queries: np.ndarray, k: int = 5,
+                    nprobe: int = 4, id_col: str = "vec_id", emb_col: str = "embedding",
+                    query_ids: np.ndarray | None = None):
+    """Probe the nprobe nearest centroids per query; brute-force only
+    vectors assigned there. Single filtered pass + tiny final top-k."""
+    import pyarrow.compute as pc
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids) if query_ids is not None else np.arange(len(q))
+    probes = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    wanted = np.unique(probes.reshape(-1))
+    filtered = indexed_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["centroid_id"], value_set=pa.array(wanted.astype(np.int32)))),
+        batch_format="pyarrow",
+    )
+    # per-query probe mask applied in the local top-k
+    import ray
+
+    ref = ray.put((q, qids, probes))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qm, qi, pr = ray.get(ref)
+        m = _normalize(_emb_matrix(t, emb_col))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        cids = t["centroid_id"].to_numpy(zero_copy_only=False)
+        out_q, out_i, out_s = [], [], []
+        for row in range(len(qm)):
+            mask = np.isin(cids, pr[row])
+            if not mask.any():
+                continue
+            sc = qm[row] @ m[mask].T
+            sub_ids = ids[mask]
+            kk = min(k, len(sc))
+            order = np.lexsort((sub_ids, -sc))[:kk]
+            out_q.append(np.full(kk, qi[row], dtype=np.int64))
+            out_i.append(sub_ids[order])
+            out_s.append(np.round(sc[order], 5))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_i)),
+            "score": pa.array(np.concatenate(out_s)),
+        })
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
+
+    return (
+        filtered.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )

@@ -1,0 +1,350 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine — the dedup toolbox a training-data pipeline needs.
+
+Scale shape (the part that matters at 10^12 docs):
+  signatures  : stateful actor pool (hash params built once per worker)
+  banding     : map_batches explode -> (band_id, band_hash, doc_id) rows
+  candidates  : ONE groupby((band_id, band_hash)) shuffle; each bucket
+                emits its pairs locally (buckets are tiny by construction)
+  verification: exact Jaccard / Hamming / cosine on candidate pairs only
+  grouping    : min-label propagation over pairs (bounded rounds), or
+                driver-side union-find when the pair set is provably small
+                (this sandbox) — documented per call site.
+
+Verification here broadcasts the needed per-doc artifacts (shingle sets /
+signatures) via ray.put for the sandbox scale; the 100 TB path would
+re-join artifacts onto the pair list by doc_id instead (same operators).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(num_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64)
+    return a.astype(np.uint64), b.astype(np.uint64)
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingles -> crc32 set (uint64)."""
+    toks = text.split()
+    if len(toks) < k:
+        joined = " ".join(toks)
+        return np.array([zlib.crc32(joined.encode("utf-8"))], dtype=np.uint64)
+    return np.unique(
+        np.fromiter(
+            (zlib.crc32(" ".join(toks[i : i + k]).encode("utf-8")) for i in range(len(toks) - k + 1)),
+            dtype=np.uint64,
+        )
+    )
+
+
+class MinHasher:
+    """Stateful: permutation params once per worker. Emits one signature
+    row per doc: (id, sig list<uint64 as int64>[num_perm])."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 num_perm: int = 64, k_shingle: int = 3, seed: int = 42):
+        self.a, self.b = _hash_params(num_perm, seed)
+        self.num_perm, self.k = num_perm, k_shingle
+        self.id_col, self.text_col = id_col, text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingle_hashes(text, self.k)
+        # (a*x + b) mod p, min over shingles, per permutation
+        v = (sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        return v.min(axis=0)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        sigs = np.stack([self.signature(x) for x in texts]) if texts else np.empty((0, self.num_perm), np.uint64)
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1).astype(np.int64)), self.num_perm
+            ),
+        })
+
+
+def band_rows(sig_table: pa.Table, id_col: str, bands: int, rows: int) -> pa.Table:
+    """Explode signatures into (band_id, band_hash, id) rows for the LSH
+    bucket groupby."""
+    sig = sig_table["sig"]
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    num_perm = sig.type.list_size
+    assert bands * rows == num_perm
+    m = sig.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm).view(np.uint64)
+    n = len(m)
+    ids = sig_table[id_col].to_numpy(zero_copy_only=False)
+    bh = np.empty((n, bands), dtype=np.uint64)
+    for bidx in range(bands):
+        seg = m[:, bidx * rows : (bidx + 1) * rows]
+        h = np.full(n, 1469598103934665603, dtype=np.uint64)  # FNV-1a over the band
+        for r in range(rows):
+            h = (h ^ seg[:, r]) * np.uint64(1099511628211)
+        bh[:, bidx] = h
+    return pa.table({
+        "band_id": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+        "band_hash": pa.array(bh.T.reshape(-1).view(np.int64)),
+        id_col: pa.array(np.tile(ids, bands)),
+    })
+
+
+def candidate_pairs(banded, id_col: str):
+    """groupby LSH bucket -> local pairs. -> Dataset(a, b) with a < b."""
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(df[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=ids.dtype), "b": pd.Series([], dtype=ids.dtype)})
+        ii, jj = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    from engine.ops.dedup import exact_dedup
+
+    raw = banded.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    return exact_dedup(raw, keys=["a", "b"])
+
+
+def minhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
+                     num_perm: int = 64, bands: int = 16, k_shingle: int = 3,
+                     threshold: float = 0.7, seed: int = 42):
+    """End-to-end MinHash-LSH near-dup: -> DataFrame(a, b, jaccard) of
+    verified pairs (exact shingle Jaccard >= threshold). Verification
+    broadcasts the doc->shingles map (sandbox scale; see module doc)."""
+    import ray
+
+    rows = num_perm // bands
+    sigs = ds.map_batches(
+        MinHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
+                                          "num_perm": num_perm, "k_shingle": k_shingle, "seed": seed},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    banded = sigs.map_batches(lambda t: band_rows(t, id_col, bands, rows), batch_format="pyarrow")
+    cands = candidate_pairs(banded, id_col).to_pandas()
+    if not len(cands):
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    docs = ds.select_columns([id_col, text_col]).to_pandas()
+    sh = {r[id_col]: shingle_hashes(r[text_col], k_shingle) for _, r in docs.iterrows()}
+    jac = np.array([
+        len(np.intersect1d(sh[a], sh[b], assume_unique=True))
+        / len(np.union1d(sh[a], sh[b]))
+        for a, b in zip(cands["a"], cands["b"])
+    ])
+    out = cands.assign(jaccard=np.round(jac, 6))
+    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+
+# --------------------------------------------------------------- simhash --
+
+class SimHasher:
+    """64-bit SimHash over whitespace tokens (crc32-derived bit vectors,
+    count-weighted)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    @staticmethod
+    def simhash(text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.split():
+            h1 = zlib.crc32(tok.encode("utf-8"))
+            h2 = zlib.crc32((tok + "#2").encode("utf-8"))
+            h = (np.uint64(h1) << np.uint64(32)) | np.uint64(h2)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        v = np.uint64(0)
+        for i in range(64):
+            if acc[i] > 0:
+                v |= np.uint64(1) << np.uint64(i)
+        return int(v.astype(np.int64).item()) if hasattr(v, "astype") else int(v)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        hs = np.array([self.simhash(x) for x in texts], dtype=np.uint64).view(np.int64)
+        return pa.table({self.id_col: t[self.id_col], "simhash": pa.array(hs)})
+
+
+def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3):
+    """SimHash near-dup: 4 x 16-bit band buckets (pigeonhole: any pair
+    with Hamming <= 3 shares at least one exact band) -> verify Hamming."""
+    from engine.ops.dedup import exact_dedup
+    from engine.ops.phash import hamming
+
+    sigs = ds.map_batches(SimHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+    def explode(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(h)
+        band_id = np.repeat(np.arange(4, dtype=np.int32), n)
+        band_hash = np.concatenate([((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)])
+        return pa.table({
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(band_hash),
+            id_col: pa.array(np.tile(ids, 4)),
+            "simhash": pa.array(np.tile(h.view(np.int64), 4)),
+        })
+
+    banded = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = sub[id_col].to_numpy()
+        hs = sub["simhash"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=ids.dtype),
+                                 "b": pd.Series([], dtype=ids.dtype),
+                                 "hamming": pd.Series([], dtype=np.int32)})
+        d = hamming(hs, hs)
+        ii, jj = np.nonzero(np.triu(d <= max_hamming, 1))
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj], "hamming": d[ii, jj].astype(np.int32)})
+
+    raw = banded.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    return exact_dedup(raw, keys=["a", "b"])
+
+
+# ----------------------------------------------------- embedding cosine --
+
+def _emb_matrix(t: pa.Table, col: str) -> np.ndarray:
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+        return arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        off = arr.offsets.to_numpy(zero_copy_only=False)
+        dim = int(np.diff(off)[0])
+        return arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+    # Ray tensor extension array (from_pandas with ndarray cells)
+    m = np.asarray(arr.to_numpy(zero_copy_only=False).tolist() if arr.to_numpy(zero_copy_only=False).dtype == object else arr.to_numpy(zero_copy_only=False), dtype=np.float64)
+    return m.reshape(len(t[col]), -1)
+
+
+def embedding_near_dup_brute(ds, id_col: str = "vec_id", emb_col: str = "embedding",
+                             threshold: float = 0.4):
+    """Baseline O(n x N) path: normalized embeddings broadcast once; each
+    batch computes cosine vs ALL rows (numpy matmul) and emits its pairs
+    (a < b). Exact; the LSH-bucketed variant below is the scale path."""
+    import ray
+
+    full = ds.select_columns([id_col, emb_col]).to_pandas()
+    ids_all = full[id_col].to_numpy()
+    m = np.stack(full[emb_col].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids_all, m))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids_a, mat = ray.get(ref)
+        own = _emb_matrix(t, emb_col)
+        own = own / np.maximum(np.linalg.norm(own, axis=1, keepdims=True), 1e-12)
+        own_ids = t[id_col].to_numpy(zero_copy_only=False)
+        cos = own @ mat.T
+        ii, jj = np.nonzero(cos >= threshold)
+        keep = own_ids[ii] < ids_a[jj]
+        return pa.table({
+            "a": pa.array(own_ids[ii][keep]),
+            "b": pa.array(ids_a[jj][keep]),
+            "cosine": pa.array(np.round(cos[ii, jj][keep], 5)),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def embedding_near_dup_lsh(ds, id_col: str = "vec_id", emb_col: str = "embedding",
+                           threshold: float = 0.4, n_planes: int = 12, n_tables: int = 6,
+                           seed: int = 42):
+    """Scale path: sign-LSH (random hyperplanes). Each of n_tables hash
+    tables buckets vectors by the sign pattern of n_planes projections;
+    near-identical vectors collide in >=1 table w.h.p. ONE groupby per
+    table-union; exact cosine verify within buckets. Approximate: recall
+    < 1 for moderate thresholds (tested vs brute on planted duplicates)."""
+    import ray
+
+    from engine.ops.dedup import exact_dedup
+
+    def make_planes(dim):
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal((n_tables, n_planes, dim))
+
+    first = ds.limit(1).to_pandas()
+    dim = len(first[emb_col].iloc[0])
+    planes_ref = ray.put(make_planes(dim))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        planes = ray.get(planes_ref)
+        m = _emb_matrix(t, emb_col)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        tabs, hashes, out_ids, vecs = [], [], [], []
+        for ti in range(n_tables):
+            proj = mn @ planes[ti].T  # (n, planes)
+            bits = (proj > 0).astype(np.uint64)
+            h = np.zeros(n, dtype=np.uint64)
+            for p in range(n_planes):
+                h = (h << np.uint64(1)) | bits[:, p]
+            tabs.append(np.full(n, ti, dtype=np.int32))
+            hashes.append(h.view(np.int64))
+            out_ids.append(ids)
+            vecs.append(mn)
+        allv = np.concatenate(vecs, axis=0)
+        return pa.table({
+            "table_id": pa.array(np.concatenate(tabs)),
+            "bucket": pa.array(np.concatenate(hashes)),
+            id_col: pa.array(np.concatenate(out_ids)),
+            "nvec": pa.FixedSizeListArray.from_arrays(pa.array(allv.reshape(-1)), dim),
+        })
+
+    banded = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = sub[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=ids.dtype),
+                                 "b": pd.Series([], dtype=ids.dtype),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        m = np.stack(sub["nvec"].to_numpy())
+        cos = m @ m.T
+        ii, jj = np.nonzero(np.triu(cos >= threshold, 1))
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj], "cosine": np.round(cos[ii, jj], 5)})
+
+    raw = banded.groupby(["table_id", "bucket"]).map_groups(pairs, batch_format="pandas")
+    return exact_dedup(raw, keys=["a", "b"])
+
+
+def dup_groups_from_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over the (small, verified) pair list -> (id, group_id)
+    with group_id = min member id. Driver-side: candidate pair sets are
+    orders of magnitude smaller than the corpus; at larger pair scales use
+    iterated min-label propagation (groupby) instead."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df["a"], pairs_df["b"]):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            ra, rb = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[rb] = ra
+    rows = [(x, find(x)) for x in parent]
+    return pd.DataFrame(rows, columns=["id", "group_id"])

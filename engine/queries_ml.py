@@ -1,0 +1,214 @@
+"""Training-data-ops query catalog: dedup / similarity / text analysis /
+multimodal plumbing (the large-scale curation operators beyond the SQL
+algebra). SQL-checked where DuckDB can express the math in float64;
+otherwise rows-only (pytest oracles in tests/test_neardup.py etc.).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ------------------------------------------------------------- text ops --
+
+def q_token_counts(sf_dir):
+    from engine.ops.textstats import TokenCounter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def q_quality_components(sf_dir):
+    from engine.ops.textstats import QualityScorer
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 2))
+    return out.select_columns(["doc_id", "n_chars", "n_nonspace", "n_digits", "n_punct"])
+
+
+def q_quality_score(sf_dir):
+    from engine.ops.textstats import QualityScorer
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 2))
+    return out.select_columns(["doc_id", "quality_score"])
+
+
+def q_lang_id(sf_dir):
+    from engine.ops.textstats import LangId
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def q_fingerprints(sf_dir):
+    from engine.ops.textstats import Fingerprinter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 2))
+
+
+# ---------------------------------------------------------------- dedup --
+
+def q_minhash_near_dup(sf_dir):
+    from engine.ops.neardup import minhash_near_dup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_near_dup(docs, threshold=0.5)
+
+
+def q_simhash_near_dup(sf_dir):
+    from engine.ops.neardup import simhash_near_dup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_near_dup(docs, max_hamming=3).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_embedding_near_dup(sf_dir):
+    from engine.ops.neardup import embedding_near_dup_brute
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_near_dup_brute(emb, threshold=0.4).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_embedding_near_dup_lsh(sf_dir):
+    from engine.ops.neardup import embedding_near_dup_lsh
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dup_lsh(emb, threshold=0.4)
+
+
+# ------------------------------------------------------------------ ann --
+
+def _query_vectors(sf_dir, n=5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64), df["vec_id"].to_numpy()
+
+
+def q_ann_topk(sf_dir):
+    from engine.ops.ann import topk_cosine
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q, qids = _query_vectors(sf_dir, 5)
+    out = topk_cosine(emb, q, k=5, query_ids=qids).to_pandas()
+    return out.sort_values(["query_id", "score"], ascending=[True, False]).reset_index(drop=True)
+
+
+def q_ann_topk_ivf(sf_dir):
+    from engine.ops.ann import build_ivf, topk_cosine_ivf
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q, qids = _query_vectors(sf_dir, 5)
+    indexed, cents = build_ivf(emb, n_centroids=8)
+    return topk_cosine_ivf(indexed, cents, q, k=5, nprobe=4, query_ids=qids)
+
+
+# ------------------------------------------- image flagship (synthetic) --
+
+def q_images_featurize(sf_dir):
+    from engine.fixtures.gen import images_dataset
+    from engine.ops.decode import featurize
+
+    return featurize(images_dataset(400, parallelism=4))
+
+
+def q_images_fv_normalized(sf_dir):
+    from engine.pipelines.flagship import image_flagship
+
+    return image_flagship(400, parallelism=4)
+
+
+def q_images_clusters(sf_dir):
+    from engine.fixtures.gen import images_dataset
+    from engine.ops.cluster import refine_clusters
+    from engine.ops.decode import featurize
+
+    return refine_clusters(featurize(images_dataset(400, parallelism=4)), radius=6)
+
+
+def q_multimodal_fake_audio(sf_dir):
+    """Plumbing check for the stubbed audio decode path (deterministic fake)."""
+    import ray.data as rd
+
+    from engine.ops.multimodal import AudioFeatureStage, decode_stage
+
+    rows = [{"id": f"a{i:04d}", "bytes": bytes([i % 251] * (100 + i % 40))} for i in range(200)]
+    ds = rd.from_items(rows)
+    return decode_stage(ds, AudioFeatureStage, id_col="id", fake=True)
+
+
+# ------------------------------------------------------------- catalogs --
+
+_COS_DOT = (
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+ORACLE_SQL_ML = {
+    "quality_components": r"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+        FROM documents""",
+    "embedding_near_dup": f"""
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 {_COS_DOT} / (a.nrm * b.nrm) AS c
+          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        SELECT a, b, ROUND(c, 5) AS cosine FROM p WHERE c >= 0.4""",
+    "ann_topk": f"""
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        q AS (SELECT * FROM n ORDER BY vec_id LIMIT 5),
+        p AS (
+          SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+                 list_sum(list_transform(list_zip(q.embedding, b.embedding),
+                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (q.nrm * b.nrm) AS c
+          FROM q, n b),
+        r AS (
+          SELECT query_id, vec_id, c,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+          FROM p)
+        SELECT query_id, vec_id, ROUND(c, 5) AS score FROM r WHERE rn <= 5""",
+}
+
+QUERIES_ML = {
+    "token_counts": q_token_counts,
+    "quality_components": q_quality_components,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_near_dup": q_simhash_near_dup,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "images_featurize": q_images_featurize,
+    "images_fv_normalized": q_images_fv_normalized,
+    "images_clusters": q_images_clusters,
+    "multimodal_fake_audio": q_multimodal_fake_audio,
+}

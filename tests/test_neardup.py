@@ -1,0 +1,97 @@
+"""Near-dup detection oracles: planted duplicates must be found; exact
+verification must match brute-force NumPy."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    base = t.head(40)[["doc_id", "text"]].copy()
+    dups = []
+    for i, (_, r) in enumerate(base.head(10).iterrows()):
+        words = r["text"].split()
+        words[len(words) // 2] = "MUTATED"  # one-word edit -> high Jaccard
+        dups.append({"doc_id": 10_000 + i, "text": " ".join(words)})
+    return pd.concat([base, pd.DataFrame(dups)], ignore_index=True)
+
+
+def test_minhash_finds_planted_dups(ray_session, docs_with_dups):
+    import ray.data as rd
+
+    from engine.ops.neardup import minhash_near_dup, shingle_hashes
+
+    out = minhash_near_dup(rd.from_pandas(docs_with_dups), threshold=0.5)
+    found = {(min(a, b), max(a, b)) for a, b in zip(out["a"], out["b"])}
+    planted = {(i, 10_000 + k) for k, i in enumerate(docs_with_dups.head(10)["doc_id"])}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"minhash recall {recall}"
+    # verified jaccard must equal exact shingle jaccard
+    sh = {r["doc_id"]: shingle_hashes(r["text"], 3) for _, r in docs_with_dups.iterrows()}
+    for _, r in out.iterrows():
+        exact = len(np.intersect1d(sh[r["a"]], sh[r["b"]])) / len(np.union1d(sh[r["a"]], sh[r["b"]]))
+        assert abs(r["jaccard"] - exact) < 1e-5
+
+
+def test_simhash_finds_planted_dups(ray_session, docs_with_dups):
+    import ray.data as rd
+
+    from engine.ops.neardup import SimHasher, simhash_near_dup
+    from engine.ops.phash import hamming
+
+    hs = np.array([SimHasher.simhash(x) for x in docs_with_dups["text"]], dtype=np.int64)
+    ids = docs_with_dups["doc_id"].to_numpy()
+    d = hamming(hs, hs)
+
+    # pigeonhole guarantee: at max_hamming <= 3 with 4x16 bands, banding is
+    # EXACT (any pair within 3 bits shares an untouched band)
+    out3 = simhash_near_dup(rd.from_pandas(docs_with_dups), max_hamming=3).to_pandas()
+    found3 = {(min(a, b), max(a, b)) for a, b in zip(out3["a"], out3["b"])}
+    ii, jj = np.nonzero(np.triu(d <= 3, 1))
+    exact3 = {(min(ids[i], ids[j]), max(ids[i], ids[j])) for i, j in zip(ii, jj)}
+    assert found3 == exact3
+
+    # beyond the guarantee (<=6): no false positives, decent recall on planted
+    out6 = simhash_near_dup(rd.from_pandas(docs_with_dups), max_hamming=6).to_pandas()
+    found6 = {(min(a, b), max(a, b)) for a, b in zip(out6["a"], out6["b"])}
+    ii, jj = np.nonzero(np.triu(d <= 6, 1))
+    exact6 = {(min(ids[i], ids[j]), max(ids[i], ids[j])) for i, j in zip(ii, jj)}
+    assert found6 <= exact6
+    planted_found = sum(1 for k, i in enumerate(docs_with_dups.head(10)["doc_id"])
+                        if (i, 10_000 + k) in found6)
+    assert planted_found >= 5
+
+
+def test_embedding_lsh_recall_on_near_identical(ray_session):
+    import ray.data as rd
+
+    from engine.ops.neardup import embedding_near_dup_brute, embedding_near_dup_lsh
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((50, 32))
+    near = base[:10] + rng.standard_normal((10, 32)) * 0.05  # cosine ~0.999
+    m = np.vstack([base, near])
+    df = pd.DataFrame({"vec_id": np.arange(60), "embedding": list(m.astype(np.float32))})
+    ds = rd.from_pandas(df)
+    brute = embedding_near_dup_brute(ds, threshold=0.95).to_pandas()
+    lsh = embedding_near_dup_lsh(ds, threshold=0.95).to_pandas()
+    bp = {(a, b) for a, b in zip(brute["a"], brute["b"])}
+    lp = {(a, b) for a, b in zip(lsh["a"], lsh["b"])}
+    planted = {(i, 50 + i) for i in range(10)}
+    assert planted <= bp
+    assert len(lp & planted) / len(planted) >= 0.9, "sign-LSH should recover near-identical pairs"
+    assert lp <= bp  # no false pairs (both verify exactly)
+
+
+def test_dup_groups_union_find():
+    from engine.ops.neardup import dup_groups_from_pairs
+
+    pairs = pd.DataFrame({"a": [1, 2, 5], "b": [2, 3, 6]})
+    g = dup_groups_from_pairs(pairs).set_index("id")["group_id"]
+    assert g[1] == g[2] == g[3]
+    assert g[5] == g[6]
+    assert g[1] != g[5]
