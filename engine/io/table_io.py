@@ -1,0 +1,109 @@
+"""Lance-like fragmented table adapter (SURVEY.md §1.2 / §2.2 S1–S2).
+
+pylance is not installable in this sandbox, so we implement the same
+STRUCTURE — a directory of parquet fragments + versioned JSON manifests +
+the lineage sidecar — behind a thin adapter; `ray.data.read_lance` /
+`write_lance` (present in Ray 2.49) can be swapped in when the package
+exists (same fragment/version concepts).
+
+    <uri>/data/frag-<k>-epoch-<e>.parquet
+    <uri>/_versions/<v>.manifest.json   {version, fragments:[{id,path,rows}], schema}
+    <uri>/_lineage/part-<k>.json        engine/lineage.py records
+
+read(uri, version=...)   -> Dataset over exactly that version's fragments
+read(fragments=[ids])    -> fragment-pruned read (the resume currency)
+write(ds, uri)           -> fragments + lineage + new manifest version
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+
+class TableIO:
+    @staticmethod
+    def versions(uri: str) -> list[int]:
+        vdir = Path(uri) / "_versions"
+        if not vdir.exists():
+            return []
+        return sorted(int(p.stem.split(".")[0]) for p in vdir.glob("*.manifest.json"))
+
+    @staticmethod
+    def manifest(uri: str, version: int | None = None) -> dict:
+        vs = TableIO.versions(uri)
+        if not vs:
+            raise FileNotFoundError(f"no manifest versions under {uri}")
+        v = version if version is not None else vs[-1]
+        return json.loads((Path(uri) / "_versions" / f"{v}.manifest.json").read_text())
+
+    @staticmethod
+    def read(uri: str, version: int | None = None, fragments: list[int] | None = None,
+             columns: list[str] | None = None):
+        import ray.data as rd
+
+        man = TableIO.manifest(uri, version)
+        frags = man["fragments"]
+        if fragments is not None:
+            want = set(fragments)
+            frags = [f for f in frags if f["id"] in want]
+        paths = [str(Path(uri) / f["path"]) for f in frags]
+        return rd.read_parquet(paths, columns=columns)
+
+    @staticmethod
+    def write(ds, uri: str, mode: str = "overwrite", epoch: int = 0) -> dict:
+        """Stream the dataset to parquet fragments, then commit a manifest
+        version listing them. mode='append' adds fragments to the previous
+        version's list."""
+        from engine.lineage import Lineage
+
+        root = Path(uri)
+        data = root / "data"
+        data.mkdir(parents=True, exist_ok=True)
+        staging = root / f".staging-epoch-{epoch}"
+        staging.mkdir(parents=True, exist_ok=True)
+        t0 = time.time()
+        ds.write_parquet(str(staging))
+
+        prev = []
+        next_version = 0
+        vs = TableIO.versions(uri)
+        if vs:
+            next_version = vs[-1] + 1
+            if mode == "append":
+                prev = TableIO.manifest(uri, vs[-1])["fragments"]
+        start_id = (max((f["id"] for f in prev), default=-1)) + 1
+
+        import pyarrow.parquet as pq
+
+        lineage = Lineage(uri)
+        new_frags = []
+        row_cursor = 0
+        for i, p in enumerate(sorted(staging.glob("*.parquet"))):
+            fid = start_id + i
+            name = f"frag-{fid}-epoch-{epoch}.parquet"
+            os.rename(p, data / name)
+            rows = pq.read_metadata(data / name).num_rows
+            new_frags.append({"id": fid, "path": f"data/{name}", "rows": rows})
+            lineage.commit(
+                fid, input_fragments=[], row_start=row_cursor, row_end=row_cursor + rows,
+                epoch=epoch, rows_out=rows, bytes_out=(data / name).stat().st_size,
+                wall_s=(time.time() - t0) / max(1, len(new_frags)), data_file=f"data/{name}",
+            )
+            row_cursor += rows
+        staging.rmdir()
+
+        man = {
+            "version": next_version,
+            "created_at": time.time(),
+            "fragments": prev + new_frags,
+            "rows": sum(f["rows"] for f in prev + new_frags),
+        }
+        vdir = root / "_versions"
+        vdir.mkdir(parents=True, exist_ok=True)
+        tmp = vdir / f".tmp-{next_version}.manifest.json"
+        tmp.write_text(json.dumps(man, indent=1))
+        os.rename(tmp, vdir / f"{next_version}.manifest.json")
+        return man

@@ -1,0 +1,95 @@
+"""Kill/resume + lineage + TableIO round-trip (SURVEY §5.2.4, north_rule)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from engine.io.table_io import TableIO
+from engine.lineage import Lineage
+from engine.pipelines.run import plan_partitions, read_output, run_resumable
+
+
+@pytest.fixture()
+def images_table_uri(ray_session, images_1k, tmp_path):
+    import ray.data as rd
+
+    uri = str(tmp_path / "images")
+    TableIO.write(rd.from_arrow(images_1k).repartition(8), uri)
+    return uri
+
+
+def _transform(ds):
+    from engine.ops.decode import FeaturizeActor
+
+    return ds.map_batches(FeaturizeActor, batch_format="pyarrow", concurrency=1, batch_size=128)
+
+
+def test_tableio_roundtrip(ray_session, images_1k, tmp_path):
+    import ray.data as rd
+
+    uri = str(tmp_path / "t")
+    man = TableIO.write(rd.from_arrow(images_1k).repartition(4), uri)
+    assert man["rows"] == images_1k.num_rows
+    assert len(man["fragments"]) >= 2
+    back = TableIO.read(uri).to_pandas().sort_values("image_id").reset_index(drop=True)
+    orig = images_1k.to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert (back["image_id"] == orig["image_id"]).all()
+    assert (back["phash"] == orig["phash"]).all()
+    # fragment-pruned read
+    one = TableIO.read(uri, fragments=[man["fragments"][0]["id"]])
+    assert one.count() == man["fragments"][0]["rows"]
+    # append -> new version with more fragments
+    man2 = TableIO.write(rd.from_arrow(images_1k.slice(0, 50)), uri, mode="append")
+    assert man2["rows"] == images_1k.num_rows + 50
+    assert TableIO.read(uri, version=man["version"]).count() == images_1k.num_rows
+
+
+def test_kill_and_resume_identical(ray_session, images_table_uri, tmp_path):
+    out_killed = str(tmp_path / "out_killed")
+    out_clean = str(tmp_path / "out_clean")
+
+    # clean one-shot run
+    run_resumable(images_table_uri, out_clean, _transform, num_parts=4)
+    clean = read_output(out_clean).to_pandas().sort_values("image_id").reset_index(drop=True)
+
+    # killed at partition 2, then resumed
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(images_table_uri, out_killed, _transform, num_parts=4, fail_on_part=2)
+    done_after_kill = set(Lineage(out_killed).committed())
+    assert done_after_kill == {0, 1}, "parts before the failure committed"
+    metrics = run_resumable(images_table_uri, out_killed, _transform, num_parts=4)
+    resumed = read_output(out_killed).to_pandas().sort_values("image_id").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        resumed.drop(columns=["tok_hash"]), clean.drop(columns=["tok_hash"])
+    )
+    np.testing.assert_allclose(np.stack(resumed["tok_hash"]), np.stack(clean["tok_hash"]))
+    assert metrics["n_parts"] == 4 and metrics["rows_out"] == clean.shape[0]
+
+    # resumed parts carry the NEW epoch; pre-kill parts keep epoch 0
+    recs = Lineage(out_killed).committed()
+    assert recs[0]["epoch"] == 0 and recs[2]["epoch"] == 1
+    # lineage carries input fragment ids + row ranges
+    assert recs[2]["input_fragments"] and recs[2]["row_end"] > recs[2]["row_start"]
+
+
+def test_rerun_skips_everything(ray_session, images_table_uri, tmp_path):
+    out = str(tmp_path / "out")
+    run_resumable(images_table_uri, out, _transform, num_parts=3)
+    before = {p: json.loads((Path(out) / "_lineage" / f"part-{p}.json").read_text())["committed_at"]
+              for p in range(3)}
+    run_resumable(images_table_uri, out, _transform, num_parts=3)  # no-op
+    after = {p: json.loads((Path(out) / "_lineage" / f"part-{p}.json").read_text())["committed_at"]
+             for p in range(3)}
+    assert before == after, "committed partitions must not be recomputed"
+
+
+def test_plan_partitions_balanced():
+    frags = [{"id": i, "rows": 100} for i in range(10)]
+    parts = plan_partitions(frags, 4)
+    assert sum(len(p) for p in parts) == 10
+    sizes = [sum(f["rows"] for f in p) for p in parts]
+    assert max(sizes) <= 400 and min(sizes) >= 100
