@@ -1,0 +1,222 @@
+"""Benchmark runner (SURVEY.md §7 M8; driver contract).
+
+Headline: the north-star pipeline — synthetic image+caption table
+(pre-generated, cached, UNTIMED) -> fused featurize actor pool ->
+bucket-cluster features -> feature-vector assembly -> sort-merge as-of
+join onto entity observation timelines -> fused windowed features
+(lag/rolling/session) -> parquet sink. Timed end to end, reported as
+seconds + images/sec.
+
+Secondary: representative catalog queries over $GRAFT_SF_DIR testdata.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N,
+   "images": n, "images_per_sec": r}
+
+--scaling: reruns the headline in FRESH processes at num_cpus=8 and 32
+on the same cached input and reports throughput at both plus
+efficiency = (T8/T32)/(32/8)  (1.0 = linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "150000"))
+OBS_ENTITIES_FRACTION = 1.0  # every image is an entity with a timeline
+CACHE = Path(os.environ.get("GRAFT_BENCH_CACHE", "/tmp/graft_bench_cache"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ray_up(num_cpus: int):
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    return ray
+
+
+def prepare_inputs() -> tuple[str, str]:
+    """Generate + cache the bench tables (untimed). Deterministic seed 42;
+    keyed by size so every run (and both scaling levels) reads the SAME
+    bytes."""
+    img_uri = CACHE / f"images_{N_IMAGES}"
+    obs_path = CACHE / f"obs_{N_IMAGES}.parquet"
+    if (img_uri / "_versions").exists() and obs_path.exists():
+        return str(img_uri), str(obs_path)
+    log(f"[bench] generating {N_IMAGES} images + timelines into {CACHE} (untimed)")
+    from engine.fixtures.gen import images_dataset
+    from engine.io.table_io import TableIO
+
+    t0 = time.time()
+    ds = images_dataset(N_IMAGES, parallelism=max(64, NUM_CPUS * 4))
+    TableIO.write(ds, str(img_uri))
+    # observation timelines: distributed, deterministic per entity
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    def gen_obs(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        ents, tss, vals, seqs = [], [], [], []
+        epoch = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+        for i in ids:
+            rng = np.random.default_rng([42, 7, int(i)])
+            k = int(rng.integers(2, 7))
+            gaps = rng.exponential(6.0, k) * 3_600e6
+            ts = epoch + np.cumsum(gaps).astype(np.int64)
+            ents.extend([f"img_{int(i):09d}"] * k)
+            tss.extend(ts.tolist())
+            vals.extend(np.round(rng.normal(size=k), 6).tolist())
+            seqs.extend(range(k))
+        return pa.table({
+            "image_id": pa.array(ents),
+            "ts": pa.array(np.array(tss, dtype="datetime64[us]")),
+            "seq": pa.array(np.array(seqs, dtype=np.int64)),
+            "value": pa.array(vals, type=pa.float64()),
+        })
+
+    obs = rd.range(N_IMAGES, override_num_blocks=max(64, NUM_CPUS * 4)).map_batches(
+        gen_obs, batch_format="pyarrow", batch_size=4096
+    )
+    obs.write_parquet(str(obs_path))
+    log(f"[bench] inputs ready in {time.time()-t0:.1f}s")
+    return str(img_uri), str(obs_path)
+
+
+def run_headline(num_cpus: int) -> dict:
+    from engine.io.table_io import TableIO
+    from engine.ops.asof import asof_join
+    from engine.ops.assemble import assemble
+    from engine.ops.cluster import with_cluster_features
+    from engine.ops.decode import featurize
+    from engine.config import PipelineConfig
+    from engine.pipelines.flagship import windowed_features
+
+    img_uri, obs_path = prepare_inputs()
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    cfg = PipelineConfig(
+        featurize_concurrency=(2, num_cpus),
+        num_partitions=4 * num_cpus,
+    )
+    out_dir = f"/tmp/graft_bench_out_{num_cpus}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # warm page cache (untimed): one streaming pass over the input bytes
+    TableIO.read(img_uri, columns=["image_id"]).count()
+
+    t0 = time.time()
+    images = TableIO.read(img_uri)
+    # materialize the DESCRIPTORS (fixed-width rows, ~300B each — pixels
+    # never leave the featurize stage): the cluster-stats aggregation and
+    # the join both consume them, so without this the featurize actor pool
+    # would run twice (lazy lineage re-execution)
+    feats = featurize(images, cfg).materialize()
+    feats = with_cluster_features(feats)
+    fv = assemble(feats, extra_cols=("bucket_size", "centroid_dist"))
+
+    def stamp(t: pa.Table) -> pa.Table:  # feature validity start (ingest time)
+        return t.append_column(
+            "ts", pa.array(np.full(t.num_rows, np.datetime64("2024-01-01T00:00:00", "us")))
+        )
+
+    fv = fv.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+    obs = rd.read_parquet(obs_path)
+    timeline = asof_join(obs, fv, on="image_id", right_cols=["fv"],
+                         num_partitions=cfg.num_partitions)
+    out = windowed_features(timeline, entity="image_id", tie_break="seq",
+                            num_partitions=cfg.num_partitions)
+    out.write_parquet(out_dir)
+    wall = time.time() - t0
+    import pyarrow.parquet as pq
+
+    n_out = sum(pq.read_metadata(p).num_rows for p in Path(out_dir).glob("*.parquet"))
+    return {"sec": round(wall, 3), "images": N_IMAGES, "rows_out": n_out,
+            "images_per_sec": round(N_IMAGES / wall, 1)}
+
+
+def run_queries(sf_dir: str) -> dict:
+    import ray.data
+    from engine.queries import QUERIES
+
+    names = ["asof_join", "lag_lead", "rolling_24h", "sessionize", "backfill_daily",
+             "q1_pricing_summary", "join_orders_customer", "dedup_events"]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = QUERIES[name](sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res.count()  # force full execution of the lazy plan
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    if "--scaling" in sys.argv:
+        # ensure cache exists before timing anything
+        env0 = dict(os.environ, RAY_GRAFT_CPUS="8", GRAFT_BENCH_PREPARE_ONLY="1")
+        subprocess.run([sys.executable, __file__], env=env0, check=True,
+                       stdout=subprocess.DEVNULL, stderr=sys.stderr)
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1")
+            out = subprocess.run([sys.executable, __file__], env=env, check=True,
+                                 capture_output=True, text=True).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        t8, t32 = results[8]["value"], results[32]["value"]
+        eff = (t8 / t32) / (32 / 8)
+        print(json.dumps({
+            "sec_8": t8, "sec_32": t32,
+            "images_per_sec_8": results[8]["images_per_sec"],
+            "images_per_sec_32": results[32]["images_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "images": results[32]["images"],
+        }))
+        return
+
+    ray = ray_up(NUM_CPUS)
+    try:
+        if os.environ.get("GRAFT_BENCH_PREPARE_ONLY"):
+            prepare_inputs()
+            print("{}")
+            return
+        head = run_headline(NUM_CPUS)
+        queries = {} if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else run_queries(SF_DIR)
+        print(json.dumps({
+            "metric": "as-of join + windowed image feature pipeline wall time",
+            "value": head["sec"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "num_cpus": NUM_CPUS,
+            "images": head["images"],
+            "images_per_sec": head["images_per_sec"],
+            "rows_out": head["rows_out"],
+        }))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
