@@ -1,0 +1,108 @@
+"""Quantiles, deterministic sampling, and entity-set operations
+(SURVEY.md §2.5 A6 / O3 / E2).
+
+Quantiles: Ray's built-in ``ray.data.aggregate.Quantile`` accumulates
+every value into a Python list on one reducer — O(group size) driver-side
+memory, unusable for 100 TB groups. ``grouped_quantiles`` instead ships
+each group once through ``groupby().map_groups`` and computes all
+requested quantiles in one vectorized ``np.quantile`` call (linear
+interpolation == DuckDB ``quantile_cont``, verified bit-exact). For
+groups too large to hold (>~1e8 rows) the scale path is
+``grouped_quantiles(..., sample_frac=f)`` which pre-thins each group with
+the same deterministic hash sampler used by ``deterministic_sample`` —
+error is O(1/sqrt(f·n)) and the thinning happens inside map_batches
+BEFORE the shuffle, so the exchange also shrinks by f.
+
+Sampling: ``random_sample`` is seed-dependent per execution plan, which
+makes resumable / re-run pipelines non-reproducible. The engine's
+canonical sampler is content-deterministic instead: keep a row iff the
+first 32 bits of ``md5(str(key))`` fall below ``frac * 2^32``. Same rows
+on every run, every partitioning, every cluster size — and expressible
+in ANSI SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _md5_u32(values) -> np.ndarray:
+    """First 32 bits of md5(str(v)) per value, as uint64 (md5 is C per call)."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        s = v if isinstance(v, str) else str(v)
+        out[i] = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+    return out
+
+
+def deterministic_sample(ds, key: str, frac: float):
+    """Content-deterministic row sample: md5(str(key))[:32 bits] < frac·2³².
+
+    SQL oracle: ``WHERE CAST(('0x' || substr(md5(CAST(key AS VARCHAR)),1,8))
+    AS UBIGINT) < CAST(frac * 4294967296 AS UBIGINT)``.
+    """
+    threshold = np.uint64(int(frac * 4294967296))
+
+    def flt(t: pa.Table) -> pa.Table:
+        mask = _md5_u32(t[key].to_pylist()) < threshold
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_quantiles(ds, key, col: str, qs: tuple[float, ...] = (0.5,),
+                      sample_frac: float | None = None, round_digits: int | None = None):
+    """Exact per-group quantiles (linear interpolation, == quantile_cont).
+
+    One shuffle (the groupby); each group computed in a single vectorized
+    np.quantile call. ``sample_frac`` switches to the deterministic-sample
+    approximation for groups that cannot be materialized whole.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if sample_frac is not None:
+        ds = deterministic_sample(ds, col, sample_frac)
+
+    def grp(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        row = {k: [df[k].iloc[0]] for k in keys}
+        for q in qs:
+            val = float(np.quantile(v, q)) if len(v) else np.nan
+            if round_digits is not None:
+                m = 10.0 ** round_digits
+                val = np.trunc(abs(val) * m + 0.5) / m * (1 if val >= 0 else -1)
+            row[f"p{int(q * 100):02d}_{col}"] = [val]
+        return pd.DataFrame(row)
+
+    return ds.groupby(keys).map_groups(grp, batch_format="pandas")
+
+
+def intersect_keys(left, right, on: str, right_on: str | None = None,
+                   num_partitions: int | None = None):
+    """Distinct keys present on BOTH sides (SQL INTERSECT on one column).
+
+    Dedup each side inside map_batches first (shrinks the exchange), then
+    one semi join on the thinned sides.
+    """
+    from engine.ops.dedup import exact_dedup
+    from engine.ops.join import semi_join
+
+    l = exact_dedup(left.select_columns([on]), keys=[on], num_partitions=num_partitions)
+    r = right.select_columns([right_on or on])
+    return semi_join(l, r, on=on, right_on=right_on, num_partitions=num_partitions)
+
+
+def except_keys(left, right, on: str, right_on: str | None = None,
+                num_partitions: int | None = None):
+    """Distinct left keys absent from right (SQL EXCEPT on one column)."""
+    from engine.ops.dedup import exact_dedup
+    from engine.ops.join import anti_join
+
+    l = exact_dedup(left.select_columns([on]), keys=[on], num_partitions=num_partitions)
+    r = right.select_columns([right_on or on])
+    return anti_join(l, r, on=on, right_on=right_on, num_partitions=num_partitions)

@@ -236,6 +236,38 @@ def q_anti_low_value(sf_dir):
     return out[["c_custkey"]]
 
 
+def q_quantiles_by_type(sf_dir):
+    from engine.ops.agg import grouped_quantiles
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles(ev, "event_type", "value", qs=(0.25, 0.5, 0.9), round_digits=6)
+
+
+def q_sample_events(sf_dir):
+    from engine.ops.agg import deterministic_sample
+
+    ev = _read(sf_dir, "events", columns=["event_id"])
+    return deterministic_sample(ev, "event_id", 0.1)
+
+
+def q_intersect_buyers_viewers(sf_dir):
+    from engine.ops.agg import intersect_keys
+
+    ev = _read(sf_dir, "events")
+    return intersect_keys(_filter_type(ev, "view"), _filter_type(ev, "purchase"), on="user_id")
+
+
+def q_except_viewers_only(sf_dir):
+    from engine.ops.agg import except_keys
+
+    ev = _read(sf_dir, "events")
+    out = except_keys(_filter_type(ev, "view"), _filter_type(ev, "purchase"),
+                      on="user_id").to_pandas()
+    if "user_id" not in out.columns:  # empty anti result loses schema (Ray join quirk)
+        out = pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+    return out[["user_id"]]
+
+
 def q_distinct_event_types(sf_dir):
     vals = _read(sf_dir, "events", columns=["event_type"]).unique("event_type")
     return pd.DataFrame({"event_type": sorted(vals)})
@@ -439,6 +471,24 @@ ORACLE_SQL = {
     "anti_low_value": """
         SELECT c_custkey FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+    "quantiles_by_type": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.25), 6) AS p25_value,
+               ROUND(quantile_cont(value, 0.50), 6) AS p50_value,
+               ROUND(quantile_cont(value, 0.90), 6) AS p90_value
+        FROM events GROUP BY event_type""",
+    "sample_events": """
+        SELECT event_id FROM events
+        WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              < CAST(0.1 * 4294967296 AS UBIGINT)""",
+    "intersect_buyers_viewers": """
+        SELECT user_id FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'""",
+    "except_viewers_only": """
+        SELECT user_id FROM events WHERE event_type = 'view'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase'""",
     "distinct_event_types": "SELECT DISTINCT event_type FROM events",
     "minmax_by_type": """
         SELECT event_type, COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
@@ -491,6 +541,10 @@ QUERIES = {
     "broadcast_nation": q_broadcast_nation,
     "semi_customers": q_semi_customers,
     "anti_low_value": q_anti_low_value,
+    "quantiles_by_type": q_quantiles_by_type,
+    "sample_events": q_sample_events,
+    "intersect_buyers_viewers": q_intersect_buyers_viewers,
+    "except_viewers_only": q_except_viewers_only,
     "distinct_event_types": q_distinct_event_types,
     "minmax_by_type": q_minmax_by_type,
     "union_counts": q_union_counts,

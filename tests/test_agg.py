@@ -1,0 +1,83 @@
+"""Quantiles (A6), deterministic sampling (O3), set ops (E2) vs DuckDB."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from engine.ops.agg import (
+    deterministic_sample,
+    except_keys,
+    grouped_quantiles,
+    intersect_keys,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    c.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')")
+    return c
+
+
+def test_grouped_quantiles_match_quantile_cont(ray_session, con):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    got = (
+        grouped_quantiles(ev, "event_type", "value", qs=(0.25, 0.5, 0.9))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    exp = con.execute("""
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25_value,
+               quantile_cont(value, 0.50) AS p50_value,
+               quantile_cont(value, 0.90) AS p90_value
+        FROM events GROUP BY event_type ORDER BY event_type""").fetchdf()
+    assert list(got["event_type"]) == list(exp["event_type"])
+    for c in ["p25_value", "p50_value", "p90_value"]:
+        np.testing.assert_allclose(got[c].to_numpy(), exp[c].to_numpy(), rtol=0, atol=1e-12)
+
+
+def test_deterministic_sample_matches_sql_and_is_stable(ray_session, con):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+    got = set(deterministic_sample(ev, "event_id", 0.2).to_pandas()["event_id"])
+    exp = set(con.execute("""
+        SELECT event_id FROM events
+        WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              < CAST(0.2 * 4294967296 AS UBIGINT)""").fetchdf()["event_id"])
+    assert got == exp
+    # stable across re-execution / partitioning
+    got2 = set(deterministic_sample(ev.repartition(7), "event_id", 0.2).to_pandas()["event_id"])
+    assert got2 == got
+
+
+def test_intersect_except_keys(ray_session, con):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+
+    def ft(et):
+        return ev.map_batches(lambda t, e=et: t.filter(pc.equal(t["event_type"], e)),
+                              batch_format="pyarrow")
+
+    got_i = set(intersect_keys(ft("view"), ft("purchase"), on="user_id").to_pandas()["user_id"])
+    exp_i = set(con.execute("""
+        SELECT user_id FROM events WHERE event_type='view'
+        INTERSECT SELECT user_id FROM events WHERE event_type='purchase'""").fetchdf()["user_id"])
+    assert got_i == exp_i
+
+    got_e = except_keys(ft("view"), ft("purchase"), on="user_id").to_pandas()
+    exp_e = con.execute("""
+        SELECT user_id FROM events WHERE event_type='view'
+        EXCEPT SELECT user_id FROM events WHERE event_type='purchase'""").fetchdf()
+    got_vals = set(got_e["user_id"]) if "user_id" in got_e.columns else set()
+    assert got_vals == set(exp_e["user_id"])
