@@ -28,11 +28,17 @@ import sys
 import time
 from pathlib import Path
 
-N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "150000"))
+N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "240000"))
 OBS_ENTITIES_FRACTION = 1.0  # every image is an entity with a timeline
+# "large" = realistic web-image sizes (64-256px, ~40KB) so featurize is
+# compute-bound like a real 100TB run; tests use the tiny default profile
+SIZE_PROFILE = os.environ.get("GRAFT_BENCH_PROFILE", "large")
 CACHE = Path(os.environ.get("GRAFT_BENCH_CACHE", "/tmp/graft_bench_cache"))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# partition count computed for the FULL cluster (32 CPUs) and held fixed
+# across scaling levels, per the scaling-run discipline in BASELINE.md
+BENCH_PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "64"))
 
 
 def log(msg: str) -> None:
@@ -49,6 +55,10 @@ def ray_up(num_cpus: int):
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    if os.environ.get("GRAFT_SHUFFLE"):  # e.g. hash_shuffle | sort_shuffle_pull_based
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy(os.environ["GRAFT_SHUFFLE"])
     return ray
 
 
@@ -56,16 +66,18 @@ def prepare_inputs() -> tuple[str, str]:
     """Generate + cache the bench tables (untimed). Deterministic seed 42;
     keyed by size so every run (and both scaling levels) reads the SAME
     bytes."""
-    img_uri = CACHE / f"images_{N_IMAGES}"
+    img_uri = CACHE / f"images_{N_IMAGES}_{SIZE_PROFILE}"
     obs_path = CACHE / f"obs_{N_IMAGES}.parquet"
     if (img_uri / "_versions").exists() and obs_path.exists():
         return str(img_uri), str(obs_path)
-    log(f"[bench] generating {N_IMAGES} images + timelines into {CACHE} (untimed)")
+    log(f"[bench] generating {N_IMAGES} {SIZE_PROFILE}-profile images + timelines into {CACHE} (untimed)")
     from engine.fixtures.gen import images_dataset
     from engine.io.table_io import TableIO
 
     t0 = time.time()
-    ds = images_dataset(N_IMAGES, parallelism=max(64, NUM_CPUS * 4))
+    # 4x partitions -> ~32MB fragments: read blocks stay under the 128MB
+    # block target (no SplitBlocks, read fuses with featurize)
+    ds = images_dataset(N_IMAGES, parallelism=4 * BENCH_PARTITIONS, size_profile=SIZE_PROFILE)
     TableIO.write(ds, str(img_uri))
     # observation timelines: distributed, deterministic per entity
     import numpy as np
@@ -92,7 +104,7 @@ def prepare_inputs() -> tuple[str, str]:
             "value": pa.array(vals, type=pa.float64()),
         })
 
-    obs = rd.range(N_IMAGES, override_num_blocks=max(64, NUM_CPUS * 4)).map_batches(
+    obs = rd.range(N_IMAGES, override_num_blocks=BENCH_PARTITIONS).map_batches(
         gen_obs, batch_format="pyarrow", batch_size=4096
     )
     obs.write_parquet(str(obs_path))
@@ -102,22 +114,18 @@ def prepare_inputs() -> tuple[str, str]:
 
 def run_headline(num_cpus: int) -> dict:
     from engine.io.table_io import TableIO
-    from engine.ops.asof import asof_join
     from engine.ops.assemble import assemble
     from engine.ops.cluster import with_cluster_features
     from engine.ops.decode import featurize
     from engine.config import PipelineConfig
-    from engine.pipelines.flagship import windowed_features
+    from engine.pipelines.flagship import asof_windowed
 
     img_uri, obs_path = prepare_inputs()
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
 
-    cfg = PipelineConfig(
-        featurize_concurrency=(2, num_cpus),
-        num_partitions=4 * num_cpus,
-    )
+    cfg = PipelineConfig(num_partitions=BENCH_PARTITIONS)
     out_dir = f"/tmp/graft_bench_out_{num_cpus}"
     import shutil
 
@@ -143,10 +151,9 @@ def run_headline(num_cpus: int) -> dict:
 
     fv = fv.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
     obs = rd.read_parquet(obs_path)
-    timeline = asof_join(obs, fv, on="image_id", right_cols=["fv"],
-                         num_partitions=cfg.num_partitions)
-    out = windowed_features(timeline, entity="image_id", tie_break="seq",
-                            num_partitions=cfg.num_partitions)
+    # fused: as-of attach + windowed features in ONE entity-hash shuffle
+    out = asof_windowed(obs, fv, on="image_id", right_cols=["fv"], tie_break="seq",
+                        num_partitions=cfg.num_partitions)
     out.write_parquet(out_dir)
     wall = time.time() - t0
     import pyarrow.parquet as pq
@@ -195,6 +202,12 @@ def main():
         }))
         return
 
+    if not os.environ.get("GRAFT_BENCH_PREPARE_ONLY"):
+        # generate inputs in a SEPARATE process: generation's object-store
+        # pressure (spilled blocks) must never leak into the timed run
+        env0 = dict(os.environ, GRAFT_BENCH_PREPARE_ONLY="1")
+        subprocess.run([sys.executable, __file__], env=env0, check=True,
+                       stdout=subprocess.DEVNULL, stderr=sys.stderr)
     ray = ray_up(NUM_CPUS)
     try:
         if os.environ.get("GRAFT_BENCH_PREPARE_ONLY"):

@@ -22,7 +22,19 @@ from engine.fixtures import codecs
 from engine.ops.phash import phash_pixels
 
 SIZES = np.array([8, 16, 24, 32, 48, 64])
-_SIZE_P = (1.0 / SIZES) / (1.0 / SIZES).sum()
+# "large" profile: realistic web-image sizes for benchmarking — decode +
+# DCT cost ~3ms/image so the featurize stage is compute-bound like a real
+# 100 TB run (tiny default sizes make scheduling overhead dominate and
+# scaling measurements meaningless). Tests/golden stay on the default.
+SIZES_LARGE = np.array([64, 96, 128, 192, 256])
+SIZE_PROFILES = {"default": SIZES, "large": SIZES_LARGE}
+
+
+def _size_p(sizes: np.ndarray) -> np.ndarray:
+    return (1.0 / sizes) / (1.0 / sizes).sum()
+
+
+_SIZE_P = _size_p(SIZES)
 FORMATS = ["raw", "ppm", "png"]
 VOCAB = [f"{c}{i:02d}" for c in ("tok", "img", "cap", "word") for i in range(64)]
 assert len(VOCAB) == 256
@@ -46,19 +58,21 @@ def _base_pixels(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     return img
 
 
-def gen_image_row(i: int, seed: int = 42) -> dict:
+def gen_image_row(i: int, seed: int = 42, size_profile: str = "default") -> dict:
+    sizes = SIZE_PROFILES[size_profile]
     rng = _rng(seed, 0, i)
     hot = rng.uniform() < HOT_FRACTION
     if hot:
         # shared base image + tiny noise -> phash collapses into hot buckets
         k = int(rng.integers(0, N_HOT_BASES))
-        w = h = 32
+        w = h = int(sizes[sizes >= 32][0]) if (sizes >= 32).any() else int(sizes[-1])
         base = _base_pixels(_rng(seed, 100, k), w, h).astype(np.int16)
         jitter = rng.integers(-1, 2, base.shape, dtype=np.int16)
         pixels = np.clip(base + jitter, 0, 255).astype(np.uint8)
     else:
-        w = int(rng.choice(SIZES, p=_SIZE_P))
-        h = int(rng.choice(SIZES, p=_SIZE_P))
+        p = _size_p(sizes)
+        w = int(rng.choice(sizes, p=p))
+        h = int(rng.choice(sizes, p=p))
         pixels = _base_pixels(rng, w, h)
     fmt = FORMATS[int(rng.integers(0, len(FORMATS)))]
     n_words = int(rng.integers(3, 13))
@@ -87,27 +101,29 @@ IMAGES_SCHEMA = pa.schema(
 )
 
 
-def images_table(lo: int, hi: int, seed: int = 42) -> pa.Table:
-    rows = [gen_image_row(i, seed) for i in range(lo, hi)]
+def images_table(lo: int, hi: int, seed: int = 42, size_profile: str = "default") -> pa.Table:
+    rows = [gen_image_row(i, seed, size_profile) for i in range(lo, hi)]
     cols = {name: [r[name] for r in rows] for name in IMAGES_SCHEMA.names}
     return pa.Table.from_pydict(cols, schema=IMAGES_SCHEMA)
 
 
-def images_dataset(n: int, seed: int = 42, parallelism: int = -1):
+def images_dataset(n: int, seed: int = 42, parallelism: int = -1,
+                   size_profile: str = "default"):
     """Distributed generation: range(n) -> map_batches(gen). Lazy."""
     import ray.data as rd
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy()
-        return images_table(0, 0, seed) if len(ids) == 0 else _images_for(ids, seed)
+        return (images_table(0, 0, seed, size_profile) if len(ids) == 0
+                else _images_for(ids, seed, size_profile))
 
     return rd.range(n, override_num_blocks=parallelism if parallelism > 0 else None).map_batches(
         gen, batch_format="pyarrow", batch_size=512
     )
 
 
-def _images_for(ids: np.ndarray, seed: int) -> pa.Table:
-    rows = [gen_image_row(int(i), seed) for i in ids]
+def _images_for(ids: np.ndarray, seed: int, size_profile: str = "default") -> pa.Table:
+    rows = [gen_image_row(int(i), seed, size_profile) for i in ids]
     cols = {name: [r[name] for r in rows] for name in IMAGES_SCHEMA.names}
     return pa.Table.from_pydict(cols, schema=IMAGES_SCHEMA)
 

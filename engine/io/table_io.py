@@ -41,7 +41,7 @@ class TableIO:
 
     @staticmethod
     def read(uri: str, version: int | None = None, fragments: list[int] | None = None,
-             columns: list[str] | None = None):
+             columns: list[str] | None = None, override_num_blocks: int | None = None):
         import ray.data as rd
 
         man = TableIO.manifest(uri, version)
@@ -50,7 +50,7 @@ class TableIO:
             want = set(fragments)
             frags = [f for f in frags if f["id"] in want]
         paths = [str(Path(uri) / f["path"]) for f in frags]
-        return rd.read_parquet(paths, columns=columns)
+        return rd.read_parquet(paths, columns=columns, override_num_blocks=override_num_blocks)
 
     @staticmethod
     def write(ds, uri: str, mode: str = "overwrite", epoch: int = 0) -> dict:

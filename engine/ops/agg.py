@@ -82,27 +82,36 @@ def grouped_quantiles(ds, key, col: str, qs: tuple[float, ...] = (0.5,),
     return ds.groupby(keys).map_groups(grp, batch_format="pandas")
 
 
+def distinct_keys(ds, on: str):
+    """DISTINCT on one column: per-batch local dedup (shrinks the
+    exchange), then groupby-aggregate (whose reduce emits schema-stable
+    blocks — unlike sort+map_groups, which can pass through schema-less
+    empty blocks that break downstream joins)."""
+    from ray.data.aggregate import Count
+
+    def local(t: pa.Table) -> pa.Table:
+        return pa.table({on: pc.unique(t[on].combine_chunks())})
+
+    pre = ds.select_columns([on]).map_batches(local, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+    return pre.groupby(on).aggregate(Count(alias_name="__n")).drop_columns(["__n"])
+
+
 def intersect_keys(left, right, on: str, right_on: str | None = None,
                    num_partitions: int | None = None):
-    """Distinct keys present on BOTH sides (SQL INTERSECT on one column).
-
-    Dedup each side inside map_batches first (shrinks the exchange), then
-    one semi join on the thinned sides.
-    """
-    from engine.ops.dedup import exact_dedup
+    """Distinct keys present on BOTH sides (SQL INTERSECT on one column)."""
     from engine.ops.join import semi_join
 
-    l = exact_dedup(left.select_columns([on]), keys=[on], num_partitions=num_partitions)
     r = right.select_columns([right_on or on])
-    return semi_join(l, r, on=on, right_on=right_on, num_partitions=num_partitions)
+    return semi_join(distinct_keys(left, on), r, on=on, right_on=right_on,
+                     num_partitions=num_partitions)
 
 
 def except_keys(left, right, on: str, right_on: str | None = None,
                 num_partitions: int | None = None):
     """Distinct left keys absent from right (SQL EXCEPT on one column)."""
-    from engine.ops.dedup import exact_dedup
     from engine.ops.join import anti_join
 
-    l = exact_dedup(left.select_columns([on]), keys=[on], num_partitions=num_partitions)
     r = right.select_columns([right_on or on])
-    return anti_join(l, r, on=on, right_on=right_on, num_partitions=num_partitions)
+    return anti_join(distinct_keys(left, on), r, on=on, right_on=right_on,
+                     num_partitions=num_partitions)

@@ -33,7 +33,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from engine.config import DEFAULT
 from engine.ops.keys import partition_ids
 
 _SIDE = "__side"
@@ -56,12 +55,36 @@ def asof_join(
     suffix: str = "_r",
     num_partitions: int | None = None,
     include_right_ts: bool = True,
+    post=None,
+    exchange: str = "sort",
 ):
     """left, right: ray.data.Dataset -> Dataset with left columns +
-    suffixed right value columns (+ matched right ts)."""
+    suffixed right value columns (+ matched right ts).
+
+    ``post``: optional pa.Table -> pa.Table applied to each merged
+    partition INSIDE the same map_groups call — downstream partition-local
+    work (e.g. windowed features over the same entity key) fuses into this
+    operator's single shuffle instead of paying a second exchange
+    (SURVEY.md §4.2: shuffle count is the cost model).
+
+    ``exchange``: physical plan for the entity exchange.
+    - "sort" (default): groupby(__pkey).map_groups, Ray's sort-based
+      exchange. Measured fastest on this cluster (~8s for 600k rows /
+      416MB at 32 CPUs) and needs no aggregator actors.
+    - "repartition": hash-partition blocks by __pkey via
+      Dataset.repartition(P, keys=...) then merge whole blocks (the merge
+      derives entity codes itself, so it only needs entity-completeness
+      per block, which hash partitioning guarantees). Requires
+      DataContext.shuffle_strategy = HASH_SHUFFLE; measured 2-3x SLOWER
+      here because each execution spawns P aggregator actors — worth
+      revisiting on a real multi-node cluster where the hash exchange
+      avoids the sort's reduce-side merge (~60 CPU·s on this input) and
+      actors amortize over far more data.
+    """
+    from engine.ops.partitioning import shuffle_partitions
     from engine.ops.util import arrow_schema, norm_ts
 
-    P = num_partitions or DEFAULT.num_partitions
+    P = num_partitions or shuffle_partitions(left, right)
     lraw, rraw = arrow_schema(left), arrow_schema(right)
     lschema = pa.schema([pa.field(n, norm_ts(lraw.field(n).type)) for n in lraw.names])
     rschema = pa.schema([pa.field(n, norm_ts(rraw.field(n).type)) for n in rraw.names])
@@ -113,7 +136,12 @@ def asof_join(
     out_schema = pa.schema([pa.field(n, lschema.field(n).type) for n in left_names] + out_right_fields)
     merge = _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
                         strict=strict, tolerance_us=tolerance_us)
-    return tagged.groupby(_PKEY).map_groups(merge, batch_format="pyarrow")
+    fn = merge if post is None else (lambda g: post(merge(g)))
+    if exchange == "repartition":
+        return tagged.repartition(P, keys=[_PKEY]).map_batches(
+            fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    return tagged.groupby(_PKEY).map_groups(fn, batch_format="pyarrow")
 
 
 def _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
@@ -124,6 +152,9 @@ def _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
     rval_names = [f.name for f in out_right_fields]
 
     def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # empty exchange partition (may be schema-less)
+            return pa.table({f.name: pa.chunked_array([], type=f.type) for f in out_schema},
+                            schema=out_schema)
         side = group[_SIDE].to_numpy(zero_copy_only=False)
         lt = group.filter(pa.array(side == 0)).select(left_names)
         rt = group.filter(pa.array(side == 1)).select([on, "__rts"] + rval_names)

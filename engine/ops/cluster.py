@@ -42,17 +42,50 @@ def bucket_partials(t: pa.Table, salt_col: str | None = None) -> pa.Table:
     return pa.table(cols)
 
 
-def bucket_stats(features, salt_col: str | None = None) -> pd.DataFrame:
-    """-> small driver-side DataFrame: phash_bucket, bucket_size, centroid dims."""
-    from ray.data.aggregate import Sum
+def bucket_stats(features, salt_col: str | None = None, mode: str = "driver") -> pd.DataFrame:
+    """-> small driver-side DataFrame: phash_bucket, bucket_size, centroid dims.
 
+    The result is ALWAYS small (bucket space is bounded by 2^prefix_bits =
+    65536 rows), so the final combine is a small-side aggregate:
+
+    - "driver" (default): stream the per-block partials (<= 65536 rows per
+      block, ~40B/row) to the driver and np.add.at-combine into one array.
+      Ingest is O(blocks x distinct-buckets-per-block) — fine up to ~10k
+      blocks (a few GB at the theoretical bound, ~MBs in practice).
+    - "distributed": coalesce partials then groupby-aggregate; use for
+      jobs with very many blocks (100 TB: ~1M blocks) where driver ingest
+      of partials would itself be big. Measured 4.6s vs driver ~2s on 256
+      blocks at 32 CPUs — the distributed path's cost is Ray aggregate
+      machinery, not data.
+    """
     partials = features.map_batches(
         lambda t: bucket_partials(t, salt_col), batch_format="pyarrow", zero_copy_batch=True
     )
-    aggs = [Sum("n", alias_name="bucket_size")] + [
-        Sum(f"sum_{d}", alias_name=f"sum_{d}") for d in CENTROID_DIMS
-    ]
-    final = partials.groupby("phash_bucket").aggregate(*aggs).to_pandas()
+    if mode == "distributed":
+        from ray.data.aggregate import Sum
+
+        aggs = [Sum("n", alias_name="bucket_size")] + [
+            Sum(f"sum_{d}", alias_name=f"sum_{d}") for d in CENTROID_DIMS
+        ]
+        final = partials.repartition(8).groupby("phash_bucket").aggregate(*aggs).to_pandas()
+    else:
+        bs, ns, ss = [], [], []
+        for t in partials.iter_batches(batch_format="pyarrow"):
+            bs.append(t["phash_bucket"].to_numpy(zero_copy_only=False))
+            ns.append(t["n"].to_numpy(zero_copy_only=False))
+            ss.append(np.stack([t[f"sum_{d}"].to_numpy(zero_copy_only=False)
+                                for d in CENTROID_DIMS], axis=0))
+        b = np.concatenate(bs)
+        uniq, inv = np.unique(b, return_inverse=True)
+        counts = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(counts, inv, np.concatenate(ns))
+        sums = np.zeros((len(CENTROID_DIMS), len(uniq)))
+        allsums = np.concatenate(ss, axis=1)
+        for j in range(len(CENTROID_DIMS)):
+            np.add.at(sums[j], inv, allsums[j])
+        final = pd.DataFrame({"phash_bucket": uniq.astype(np.int32), "bucket_size": counts})
+        for j, d in enumerate(CENTROID_DIMS):
+            final[f"sum_{d}"] = sums[j]
     for d in CENTROID_DIMS:
         final[f"centroid_{d}"] = final[f"sum_{d}"] / final["bucket_size"]
     return final[["phash_bucket", "bucket_size"] + [f"centroid_{d}" for d in CENTROID_DIMS]]

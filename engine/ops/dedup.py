@@ -17,7 +17,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from engine.config import DEFAULT
 from engine.ops.keys import stable_hash
 
 _PKEY = "__pkey"
@@ -26,7 +25,9 @@ _PKEY = "__pkey"
 def exact_dedup(ds, keys, order_by=None, keep: str = "first", num_partitions: int | None = None):
     keys = [keys] if isinstance(keys, str) else list(keys)
     order_by = [order_by] if isinstance(order_by, str) else (list(order_by) if order_by else [])
-    P = num_partitions or DEFAULT.num_partitions
+    from engine.ops.partitioning import shuffle_partitions
+
+    P = num_partitions or shuffle_partitions(ds)
 
     def add_pkey(t: pa.Table) -> pa.Table:
         h = np.zeros(t.num_rows, dtype=np.uint64)
@@ -34,16 +35,23 @@ def exact_dedup(ds, keys, order_by=None, keep: str = "first", num_partitions: in
             h = h * np.uint64(1000003) + stable_hash(t[k])
         return t.append_column(_PKEY, pa.array((h % np.uint64(P)).astype(np.int32)))
 
-    def dd(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=[_PKEY])
+    def dd(t: pa.Table) -> pa.Table:
+        # pyarrow in/out so EMPTY sort partitions keep their schema —
+        # a pandas fn returns a column-less frame for them, and the
+        # schema-less blocks break downstream joins/unions.
+        t = t.drop_columns([_PKEY])
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas()
         if order_by:
             df = df.sort_values(order_by, kind="stable")
-        return df.drop_duplicates(subset=keys, keep=keep)
+        df = df.drop_duplicates(subset=keys, keep=keep)
+        return pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
 
     return (
         ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(_PKEY)
-        .map_groups(dd, batch_format="pandas")
+        .map_groups(dd, batch_format="pyarrow")
     )
 
 

@@ -16,22 +16,12 @@ from engine.config import DEFAULT
 
 
 def _join_partitions(left, right) -> int:
-    """Dataset.join spawns one hash-shuffle aggregator ACTOR per
-    partition, and all must be placed before the join makes progress —
-    so the partition count must track DATA size, not CPU count:
-    too many on a small cluster deadlocks (observed: P=128 on 8 CPUs
-    never starts) and each aggregator costs ~0.3s startup (observed:
-    P=8 -> 1.6s, P=32 -> 10.7s on the same 10MB join). Default:
-    ceil(total_bytes / 128MB), clamped to [2, 2 x CPUs]."""
-    import ray
+    """Aggregator-actor-constrained partition count; see
+    engine/ops/partitioning.py for the sizing rationale (and why
+    ds.size_bytes() must NOT be used here — it executes the plan)."""
+    from engine.ops.partitioning import join_partitions
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    try:
-        total = (left.size_bytes() or 0) + (right.size_bytes() or 0)
-    except Exception:  # noqa: BLE001 - size unknown pre-execution for some sources
-        total = 0
-    by_bytes = max(2, -(-total // (128 << 20)))
-    return int(max(2, min(by_bytes, 2 * cpus, DEFAULT.num_partitions)))
+    return min(join_partitions(left, right), DEFAULT.num_partitions)
 
 
 def equi_join(left, right, on, join_type: str = "inner", num_partitions: int | None = None,

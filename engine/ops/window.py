@@ -23,14 +23,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from engine.config import DEFAULT
 from engine.ops.keys import partition_ids
 
 _PKEY = "__pkey"
 
 
 def _partitioned(ds, entity: str, num_partitions: int | None):
-    P = num_partitions or DEFAULT.num_partitions
+    from engine.ops.partitioning import shuffle_partitions
+
+    P = num_partitions or shuffle_partitions(ds)
 
     def add_pkey(t: pa.Table) -> pa.Table:
         return t.append_column(_PKEY, pa.array(partition_ids(t[entity], P), type=pa.int32()))

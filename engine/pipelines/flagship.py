@@ -18,10 +18,9 @@ over the driver events table — the `entry()` smoke pipeline.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow.compute as pc
 
-from engine.ops.window import _partitioned, _sorted_group
+from engine.ops.window import _partitioned
 
 
 def image_flagship(n_images: int = 1000, parallelism: int = -1, normalize: bool = True):
@@ -40,49 +39,113 @@ def image_flagship(n_images: int = 1000, parallelism: int = -1, normalize: bool 
     return norm
 
 
+def window_pass(t, entity: str, ts: str = "ts", value: str = "value",
+                gap_us: int = 4 * 3600 * 1_000_000,
+                window_us: int = 24 * 3600 * 1_000_000,
+                tie_break: str | None = None):
+    """lag1/lag2 + rolling count/sum/mean + session_idx over ONE
+    entity-complete pa.Table, fully vectorized — no per-entity Python
+    loop, no pandas round-trip (wide list<float> feature columns ride
+    along zero-copy through the sort `take`).
+
+    Rolling windows use a banded composite key: per-entity code x
+    window-padded normalized timestamp, so ONE global np.searchsorted
+    answers every entity's `RANGE BETWEEN w PRECEDING AND CURRENT ROW`
+    bounds at once (bands are wider than span+window, so a probe can
+    never cross into a neighboring entity's band).
+    """
+    import pyarrow as pa
+
+    n = t.num_rows
+    if n == 0:
+        out = t
+        for name, typ in [(f"lag1_{value}", pa.float64()), (f"lag2_{value}", pa.float64()),
+                          (f"roll_count_{value}", pa.int64()), (f"roll_sum_{value}", pa.float64()),
+                          (f"roll_mean_{value}", pa.float64()), ("session_idx", pa.int64())]:
+            out = out.append_column(name, pa.chunked_array([], type=typ))
+        return out
+
+    ent = t[entity].to_numpy(zero_copy_only=False)
+    _, codes = np.unique(ent, return_inverse=True)
+    codes = codes.astype(np.int64)
+    tsv = t[ts].cast("int64").to_numpy(zero_copy_only=False) if pa.types.is_timestamp(
+        t.schema.field(ts).type) else t[ts].to_numpy(zero_copy_only=False)
+    tie = t[tie_break].to_numpy(zero_copy_only=False) if tie_break else np.arange(n)
+    order = np.lexsort((tie, tsv, codes))
+    t = t.take(pa.array(order))
+    codes, tsv = codes[order], tsv[order]
+    v = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
+
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = codes[1:] != codes[:-1]
+
+    # lag1/lag2 with group boundaries
+    lag1 = np.concatenate([[np.nan], v[:-1]])
+    lag1[change] = np.nan
+    lag2 = np.concatenate([[np.nan, np.nan], v[:-2]])
+    lag2[change] = np.nan
+    second = np.zeros(n, dtype=bool)
+    second[1:] = change[:-1]  # second row of each entity
+    lag2[second] = np.nan
+
+    # banded rolling: one global searchsorted for all entities
+    nt = tsv - tsv.min()
+    span = int(nt.max()) if n else 0
+    base = np.int64(span + window_us + 2)
+    ck = codes * base + nt
+    lo = np.searchsorted(ck, ck - window_us, side="left")
+    hi = np.searchsorted(ck, ck, side="right")
+    cs = np.concatenate([[0.0], np.cumsum(v)])
+    cnt = (hi - lo).astype(np.int64)
+    sm = cs[hi] - cs[lo]
+
+    # gap sessions: per-entity cumsum of gap-breaks
+    brk = np.zeros(n, dtype=np.int64)
+    brk[1:] = (~change[1:]) & ((tsv[1:] - tsv[:-1]) > gap_us)
+    cum = np.cumsum(brk)
+    starts = np.flatnonzero(change)
+    seg_id = np.cumsum(change) - 1
+    sess = cum - cum[starts][seg_id]
+
+    for name, arr in [(f"lag1_{value}", lag1), (f"lag2_{value}", lag2),
+                      (f"roll_count_{value}", cnt), (f"roll_sum_{value}", sm),
+                      (f"roll_mean_{value}", sm / np.where(cnt == 0, 1, cnt)),
+                      ("session_idx", sess)]:
+        t = t.append_column(name, pa.array(arr))
+    return t
+
+
 def windowed_features(ds, entity: str, ts: str = "ts", value: str = "value",
                       gap_us: int = 4 * 3600 * 1_000_000,
                       window_us: int = 24 * 3600 * 1_000_000,
                       tie_break: str | None = None,
                       num_partitions: int | None = None):
-    """lag1/lag2 + rolling count/sum/mean + session_idx in ONE pass."""
+    """lag1/lag2 + rolling count/sum/mean + session_idx in ONE pass
+    (one entity-hash shuffle, then window_pass per partition)."""
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = _sorted_group(df, entity, ts, tie_break)
-        g = df.groupby(entity, sort=False)
-        df[f"lag1_{value}"] = g[value].shift(1)
-        df[f"lag2_{value}"] = g[value].shift(2)
-        tsv = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
-        ent = df[entity].to_numpy()
-        n = len(df)
-        change = np.empty(n, dtype=bool)
-        if n:
-            change[0] = True
-            change[1:] = ent[1:] != ent[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n)
-        v = df[value].to_numpy(dtype=np.float64)
-        cnt = np.empty(n)
-        sm = np.empty(n)
-        sess = np.empty(n, dtype=np.int64)
-        for s, e in zip(starts, ends):
-            t = tsv[s:e]
-            lo = np.searchsorted(t, t - window_us, side="left")
-            hi = np.searchsorted(t, t, side="right")
-            cs = np.concatenate([[0.0], np.cumsum(v[s:e])])
-            cnt[s:e] = hi - lo
-            sm[s:e] = cs[hi] - cs[lo]
-            brk = np.empty(e - s, dtype=np.int64)
-            brk[0] = 0
-            brk[1:] = (t[1:] - t[:-1]) > gap_us
-            sess[s:e] = np.cumsum(brk)
-        df[f"roll_count_{value}"] = cnt.astype(np.int64)
-        df[f"roll_sum_{value}"] = sm
-        df[f"roll_mean_{value}"] = sm / np.where(cnt == 0, 1, cnt)
-        df["session_idx"] = sess
-        return df
+    def fn(t):
+        return window_pass(t.drop_columns(["__pkey"]), entity, ts, value,
+                           gap_us, window_us, tie_break)
 
-    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pandas")
+    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")
+
+
+def asof_windowed(left, right, on: str, right_cols=None, value: str = "value",
+                  gap_us: int = 4 * 3600 * 1_000_000,
+                  window_us: int = 24 * 3600 * 1_000_000,
+                  tie_break: str | None = None, suffix: str = "_r",
+                  num_partitions: int | None = None):
+    """As-of join + windowed features in ONE shuffle: the window pass runs
+    inside the as-of merge's map_groups call (both keyed on hash(entity)),
+    so the timeline never pays a second exchange."""
+    from engine.ops.asof import asof_join
+
+    def post(merged):
+        return window_pass(merged, on, "ts", value, gap_us, window_us, tie_break)
+
+    return asof_join(left, right, on=on, right_cols=right_cols, suffix=suffix,
+                     num_partitions=num_partitions, post=post)
 
 
 def events_flagship(sf_dir: str, num_partitions: int | None = None):
@@ -90,13 +153,10 @@ def events_flagship(sf_dir: str, num_partitions: int | None = None):
     then fused windowed features per user."""
     import ray.data as rd
 
-    from engine.ops.asof import asof_join
-
     ev = rd.read_parquet(f"{sf_dir}/events.parquet")
     purchases = ev.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow"
     ).select_columns(["user_id", "ts", "value"])
-    joined = asof_join(ev, purchases, on="user_id", right_cols=["value"], suffix="_last_purchase",
-                       num_partitions=num_partitions)
-    return windowed_features(joined, entity="user_id", tie_break="event_id",
-                             num_partitions=num_partitions)
+    return asof_windowed(ev, purchases, on="user_id", right_cols=["value"],
+                         suffix="_last_purchase", tie_break="event_id",
+                         num_partitions=num_partitions)

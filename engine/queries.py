@@ -236,6 +236,24 @@ def q_anti_low_value(sf_dir):
     return out[["c_custkey"]]
 
 
+def q_asof_windowed(sf_dir):
+    """Flagship fused operator: as-of attach + lag/rolling/session in one
+    shuffle (engine/pipelines/flagship.py::asof_windowed)."""
+    from engine.pipelines.flagship import events_flagship
+
+    out = events_flagship(sf_dir).to_pandas()
+    res = pd.DataFrame({
+        "event_id": out["event_id"],
+        "ts_last_purchase": out["ts_last_purchase"],
+        "value_last_purchase": out["value_last_purchase"],
+        "lag1_value": out["lag1_value"],
+        "roll_count_value": out["roll_count_value"].astype("int64"),
+        "roll_sum_value": sql_round(out["roll_sum_value"], 6),
+        "session_idx": out["session_idx"].astype("int64"),
+    })
+    return res
+
+
 def q_quantiles_by_type(sf_dir):
     from engine.ops.agg import grouped_quantiles
 
@@ -471,6 +489,31 @@ ORACLE_SQL = {
     "anti_low_value": """
         SELECT c_custkey FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+    "asof_windowed": """
+        WITH j AS (
+          SELECT l.event_id, l.user_id, l.ts, l.value,
+                 r.ts AS ts_last_purchase, r.value AS value_last_purchase
+          FROM events l
+          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                          WHERE event_type = 'purchase') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts),
+        w AS (
+          SELECT *,
+                 LAG(value, 1) OVER win AS lag1_value,
+                 COUNT(value) OVER rng AS roll_count_value,
+                 SUM(value) OVER rng AS roll_sum_value,
+                 CASE WHEN ts - LAG(ts) OVER win > INTERVAL 4 HOURS
+                      THEN 1 ELSE 0 END AS brk
+          FROM j
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id),
+                 rng AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW))
+        SELECT event_id, ts_last_purchase, value_last_purchase, lag1_value,
+               roll_count_value, ROUND(roll_sum_value, 6) AS roll_sum_value,
+               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_idx
+        FROM w""",
     "quantiles_by_type": """
         SELECT event_type,
                ROUND(quantile_cont(value, 0.25), 6) AS p25_value,
@@ -541,6 +584,7 @@ QUERIES = {
     "broadcast_nation": q_broadcast_nation,
     "semi_customers": q_semi_customers,
     "anti_low_value": q_anti_low_value,
+    "asof_windowed": q_asof_windowed,
     "quantiles_by_type": q_quantiles_by_type,
     "sample_events": q_sample_events,
     "intersect_buyers_viewers": q_intersect_buyers_viewers,
