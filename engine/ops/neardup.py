@@ -116,14 +116,63 @@ def candidate_pairs(banded, id_col: str):
     return exact_dedup(raw, keys=["a", "b"])
 
 
+def shingle_sets(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+    """-> Dataset(id, shingles: binary) — sorted unique shingle hashes as
+    packed uint64 bytes (binary, not list<int64>: Acero hash joins reject
+    list-typed payload columns)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        return pa.table({
+            id_col: t[id_col],
+            "shingles": pa.array([shingle_hashes(x, k).tobytes() for x in texts],
+                                 type=pa.binary()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _verify_jaccard_distributed(ds, cands: pd.DataFrame, id_col: str, text_col: str,
+                                k_shingle: int) -> np.ndarray:
+    """Scale path: re-join shingle sets onto the pair list by doc id (two
+    equi-joins) instead of broadcasting a doc->shingles map. Exact same
+    Jaccard values as the broadcast path (tested)."""
+    import ray.data as rd
+
+    from engine.ops.join import equi_join
+
+    sh = shingle_sets(ds, id_col, text_col, k_shingle)
+    pairs = rd.from_pandas(cands)
+    # rename between joins: Ray only suffixes COLLIDING columns
+    j = equi_join(pairs, sh, on="a", right_on=id_col).rename_columns(
+        {"shingles": "shingles_a"})
+    j = equi_join(j, sh, on="b", right_on=id_col).rename_columns(
+        {"shingles": "shingles_b"})
+
+    def jac(t: pa.Table) -> pa.Table:
+        out = np.empty(t.num_rows)
+        sa, sb = t["shingles_a"], t["shingles_b"]
+        for i in range(t.num_rows):
+            x = np.frombuffer(sa[i].as_py(), dtype=np.uint64)
+            y = np.frombuffer(sb[i].as_py(), dtype=np.uint64)
+            out[i] = len(np.intersect1d(x, y, assume_unique=True)) / len(np.union1d(x, y))
+        return pa.table({"a": t["a"], "b": t["b"], "jaccard": pa.array(np.round(out, 6))})
+
+    res = j.map_batches(jac, batch_format="pyarrow").to_pandas()
+    m = cands.merge(res, on=["a", "b"], how="left")
+    return m["jaccard"].to_numpy()
+
+
 def minhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
                      num_perm: int = 64, bands: int = 16, k_shingle: int = 3,
-                     threshold: float = 0.7, seed: int = 42):
+                     threshold: float = 0.7, seed: int = 42, verify: str = "broadcast"):
     """End-to-end MinHash-LSH near-dup: -> DataFrame(a, b, jaccard) of
-    verified pairs (exact shingle Jaccard >= threshold). Verification
-    broadcasts the doc->shingles map (sandbox scale; see module doc)."""
-    import ray
+    verified pairs (exact n-gram-shingle Jaccard >= threshold).
 
+    verify="broadcast": the doc->shingles map is built driver-side — fine
+    while the corpus's shingle sets fit in one heap (sandbox scale).
+    verify="distributed": shingle sets are re-joined onto the pair list by
+    doc id (two hash joins) — the 100 TB path; no driver-side corpus."""
     rows = num_perm // bands
     sigs = ds.map_batches(
         MinHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
@@ -134,13 +183,16 @@ def minhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
     cands = candidate_pairs(banded, id_col).to_pandas()
     if not len(cands):
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    docs = ds.select_columns([id_col, text_col]).to_pandas()
-    sh = {r[id_col]: shingle_hashes(r[text_col], k_shingle) for _, r in docs.iterrows()}
-    jac = np.array([
-        len(np.intersect1d(sh[a], sh[b], assume_unique=True))
-        / len(np.union1d(sh[a], sh[b]))
-        for a, b in zip(cands["a"], cands["b"])
-    ])
+    if verify == "distributed":
+        jac = _verify_jaccard_distributed(ds, cands, id_col, text_col, k_shingle)
+    else:
+        docs = ds.select_columns([id_col, text_col]).to_pandas()
+        sh = {r[id_col]: shingle_hashes(r[text_col], k_shingle) for _, r in docs.iterrows()}
+        jac = np.array([
+            len(np.intersect1d(sh[a], sh[b], assume_unique=True))
+            / len(np.union1d(sh[a], sh[b]))
+            for a, b in zip(cands["a"], cands["b"])
+        ])
     out = cands.assign(jaccard=np.round(jac, 6))
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 

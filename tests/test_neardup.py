@@ -95,3 +95,15 @@ def test_dup_groups_union_find():
     assert g[1] == g[2] == g[3]
     assert g[5] == g[6]
     assert g[1] != g[5]
+
+
+def test_minhash_distributed_verify_matches_broadcast(ray_session, docs_with_dups):
+    import ray.data as rd
+
+    from engine.ops.neardup import minhash_near_dup
+
+    a = minhash_near_dup(rd.from_pandas(docs_with_dups), threshold=0.5, verify="broadcast")
+    b = minhash_near_dup(rd.from_pandas(docs_with_dups), threshold=0.5, verify="distributed")
+    ka = sorted(zip(a["a"], a["b"], a["jaccard"]))
+    kb = sorted(zip(b["a"], b["b"], b["jaccard"]))
+    assert ka == kb
