@@ -308,6 +308,66 @@ def q_union_counts(sf_dir):
     return pd.DataFrame({"n": [u.count()]})
 
 
+def q3_shipping_priority(sf_dir):
+    """TPC-H Q3 shape: 3-way join, filter both sides, group, top-10."""
+    from ray.data.aggregate import Sum
+
+    from engine.ops.join import equi_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pd.Timestamp("1995-03-15")
+
+    bld = cust.map_batches(lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+                           batch_format="pyarrow")
+    o = orders.map_batches(lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+                           batch_format="pyarrow")
+    l = li.map_batches(lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff))),
+                       batch_format="pyarrow")
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    j = equi_join(o, bld, on="o_custkey", right_on="c_custkey", join_type="left_semi")
+    j = equi_join(l.map_batches(revenue, batch_format="pyarrow"), j,
+                  on="l_orderkey", right_on="o_orderkey")
+    out = (
+        j.groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    out["revenue"] = sql_round(out["revenue"], 4)
+    return out[["l_orderkey", "o_orderdate", "revenue"]]
+
+
+def q6_forecast_revenue(sf_dir):
+    """TPC-H Q6 shape: filter-scan + global aggregate (per-batch partial
+    sums, one tiny final combine)."""
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                            pc.less(t["l_shipdate"], pa.scalar(hi))),
+                    pc.and_(pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                                    pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+                            pc.less(t["l_quantity"], pa.scalar(24.0))))
+        t = t.filter(m)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], type=pa.float64())})
+
+    from ray.data.aggregate import Sum
+
+    total = _read(sf_dir, "lineitem",
+                  columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .aggregate(Sum("rev", alias_name="revenue"))
+    return pd.DataFrame({"revenue": sql_round([total["revenue"]], 4)})
+
+
 # -------------------------------------------------------------- scalars --
 
 def q_json_extract(sf_dir):
@@ -468,6 +528,20 @@ ORACLE_SQL = {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1995-03-15'
+          AND l_shipdate > DATE '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q6_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "topk_orders": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
@@ -578,6 +652,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "backfill_daily": q_backfill_daily,
     "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "topk_orders": q_topk_orders,
     "filter_scan": q_filter_scan,
     "join_orders_customer": q_join_orders_customer,
