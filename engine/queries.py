@@ -70,6 +70,17 @@ def q_asof_tolerance(sf_dir):
     return out.select_columns(["event_id", "ts_r", "value_r"])
 
 
+def q_range_join(sf_dir):
+    """All purchases within the 24h BEFORE each view (inner interval join)."""
+    from engine.ops.rangejoin import range_join
+
+    ev = _read(sf_dir, "events")
+    out = range_join(_filter_type(ev, "view"), _filter_type(ev, "purchase"),
+                     on="user_id", lo_us=24 * 3600 * 1_000_000, hi_us=0,
+                     right_cols=["value"])
+    return out.select_columns(["event_id", "ts_r", "value_r"])
+
+
 def q_lag_lead(sf_dir):
     from engine.ops.window import with_lag_lead
 
@@ -496,6 +507,12 @@ ORACLE_SQL = {
                CASE WHEN lts - ts_r <= INTERVAL 1 HOUR THEN ts_r END AS ts_r,
                CASE WHEN lts - ts_r <= INTERVAL 1 HOUR THEN value_r END AS value_r
         FROM j""",
+    "range_join": """
+        SELECT l.event_id, r.ts AS ts_r, r.value AS value_r
+        FROM (SELECT * FROM events WHERE event_type='view') l
+        JOIN (SELECT * FROM events WHERE event_type='purchase') r
+          ON l.user_id = r.user_id
+         AND r.ts BETWEEN l.ts - INTERVAL 24 HOURS AND l.ts""",
     "lag_lead": """
         SELECT event_id,
                LAG(value, 1) OVER w AS lag1_value,
@@ -647,6 +664,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "asof_strict": q_asof_strict,
     "asof_tolerance": q_asof_tolerance,
+    "range_join": q_range_join,
     "lag_lead": q_lag_lead,
     "rolling_24h": q_rolling_24h,
     "sessionize": q_sessionize,
