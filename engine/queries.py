@@ -297,6 +297,15 @@ def q_except_viewers_only(sf_dir):
     return out[["user_id"]]
 
 
+def q_approx_distinct_users(sf_dir):
+    """HLL sketch (p=12, ~1.6% err) — no SQL oracle (approximate);
+    pytest asserts the error bound vs exact."""
+    from engine.ops.sketch import approx_distinct
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    return pd.DataFrame({"n_users_approx": [approx_distinct(ev, "user_id")]})
+
+
 def q_distinct_event_types(sf_dir):
     vals = _read(sf_dir, "events", columns=["event_type"]).unique("event_type")
     return pd.DataFrame({"event_type": sorted(vals)})
@@ -683,6 +692,7 @@ QUERIES = {
     "sample_events": q_sample_events,
     "intersect_buyers_viewers": q_intersect_buyers_viewers,
     "except_viewers_only": q_except_viewers_only,
+    "approx_distinct_users": q_approx_distinct_users,
     "distinct_event_types": q_distinct_event_types,
     "minmax_by_type": q_minmax_by_type,
     "union_counts": q_union_counts,
