@@ -48,11 +48,15 @@ def cmd_gen(args):
 
 
 def cmd_asof(args):
-    """events parquet -> as-of + fused windowed features -> parquet."""
+    """events parquet -> as-of + fused windowed features -> parquet.
+    Input: the sf dir containing events.parquet, or the file itself."""
+    import os
+
     _ray()
     from engine.pipelines.flagship import events_flagship
 
-    out = events_flagship(args.input)
+    sf_dir = os.path.dirname(args.input) if args.input.endswith(".parquet") else args.input
+    out = events_flagship(sf_dir)
     out.write_parquet(args.output)
     print(json.dumps({"written": args.output}))
 
