@@ -21,7 +21,7 @@ def _default_parallelism() -> int:
 @dataclass
 class PipelineConfig:
     # --- featurize stage (SURVEY.md §4.3) ---
-    featurize_batch_size: int = 256          # images per Arrow batch (binary payloads: keep small)
+    featurize_batch_size: int = 256          # actor path only; stateless path uses whole blocks (fusion)
     featurize_stateless: bool = True         # module-cached state in tasks (no actor-pool startup)
     featurize_concurrency: tuple = (2, 8)    # actor-pool autoscale bounds (featurize_stateless=False)
     featurize_num_cpus: float = 1.0

@@ -24,8 +24,8 @@ leak history (the W5 watermark-boundary concern arises only in the
 time-sliced variant, engine/ops/backfill.py::asof_time_sliced).
 
 At 10^12-row scale the inputs to this operator are fixed-width descriptor
-rows (pixels never enter the shuffle, SURVEY.md §4.1); P defaults to
-cfg.num_partitions (>=4x cores).
+rows (pixels never enter the shuffle, SURVEY.md §4.1); P defaults to a
+data-size-derived count (engine/ops/partitioning.py).
 """
 
 from __future__ import annotations
