@@ -144,6 +144,95 @@ def asof_join(
     return tagged.groupby(_PKEY).map_groups(fn, batch_format="pyarrow")
 
 
+
+def asof_join_broadcast(
+    left,
+    right,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list | None = None,
+    strict: bool = False,
+    tolerance_us: int | None = None,
+    suffix: str = "_r",
+    include_right_ts: bool = True,
+):
+    """Zero-shuffle as-of join for a SMALL right side (dimension-table
+    case): the whole right table is put in the object store ONCE
+    (ray.put) and every left batch runs the same vectorized sort +
+    binary-search merge locally against it — no exchange at all, so the
+    left side streams at full read speed. Identical semantics (and SQL
+    oracle) to asof_join; use when the right side fits comfortably in a
+    worker heap (features/dim tables up to ~100s of MB).
+
+    right: ray.data.Dataset (materialized driver-side), pandas.DataFrame
+    or pyarrow.Table.
+    """
+    import pandas as pd
+    import ray
+
+    from engine.ops.util import norm_ts
+
+    if hasattr(right, "to_pandas") and not isinstance(right, (pd.DataFrame, pa.Table)):
+        right = pa.Table.from_pandas(right.to_pandas(), preserve_index=False)
+    elif isinstance(right, pd.DataFrame):
+        right = pa.Table.from_pandas(right, preserve_index=False)
+    rschema = pa.schema([pa.field(n, norm_ts(right.schema.field(n).type))
+                         for n in right.schema.names])
+    right = right.cast(rschema)
+
+    from engine.ops.util import arrow_schema
+
+    lraw = arrow_schema(left)
+    lschema = pa.schema([pa.field(n, norm_ts(lraw.field(n).type)) for n in lraw.names])
+    if right_cols is None:
+        right_cols = [n for n in rschema.names if n not in (on, right_ts)]
+    left_names = list(lschema.names)
+    out_right_fields = []
+    if include_right_ts:
+        out_right_fields.append(pa.field(right_ts + suffix, rschema.field(right_ts).type))
+    for c in right_cols:
+        out_right_fields.append(pa.field(c + suffix, rschema.field(c).type))
+    unified = pa.schema(
+        [pa.field(n, lschema.field(n).type) for n in left_names]
+        + out_right_fields
+        + [pa.field("__rts", rschema.field(right_ts).type),
+           pa.field(_SIDE, pa.int8()), pa.field(_PKEY, pa.int32())]
+    )
+    out_schema = pa.schema([pa.field(n, lschema.field(n).type) for n in left_names]
+                           + out_right_fields)
+    merge = _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
+                        strict=strict, tolerance_us=tolerance_us)
+
+    # pre-tag the right side once, driver-side
+    n = right.num_rows
+    rcols = {}
+    for name in left_names:
+        rcols[name] = right[on] if name == on else _null_array(n, lschema.field(name).type)
+    if include_right_ts:
+        rcols[right_ts + suffix] = right[right_ts]
+    for c in right_cols:
+        rcols[c + suffix] = right[c]
+    rcols["__rts"] = right[right_ts]
+    rcols[_SIDE] = pa.array(np.ones(n, np.int8))
+    rcols[_PKEY] = pa.array(np.zeros(n, np.int32))
+    tagged_right = pa.table(rcols).cast(unified)
+    ref = ray.put(tagged_right)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nb = batch.num_rows
+        cols = {name: batch[name] for name in left_names}
+        for f in out_right_fields:
+            cols[f.name] = _null_array(nb, f.type)
+        cols["__rts"] = _null_array(nb, rschema.field(right_ts).type)
+        cols[_SIDE] = pa.array(np.zeros(nb, np.int8))
+        cols[_PKEY] = pa.array(np.zeros(nb, np.int32))
+        tagged_left = pa.table(cols).cast(unified)
+        group = pa.concat_tables([tagged_left, ray.get(ref)])
+        return merge(group.combine_chunks())
+
+    return left.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
 def _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
                 strict: bool, tolerance_us: int | None):
     """Vectorized per-partition sort+binary-search as-of merge, shared by

@@ -70,6 +70,18 @@ def q_asof_tolerance(sf_dir):
     return out.select_columns(["event_id", "ts_r", "value_r"])
 
 
+def q_asof_broadcast(sf_dir):
+    """Zero-shuffle as-of: small right side broadcast via ray.put, same
+    semantics (and oracle) as asof_join."""
+    from engine.ops.asof import asof_join_broadcast
+
+    ev = _read(sf_dir, "events")
+    purchases = _filter_type(ev, "purchase").select_columns(["user_id", "ts", "value"])
+    out = asof_join_broadcast(_filter_type(ev, "view"), purchases,
+                              on="user_id", right_cols=["value"])
+    return out.select_columns(["event_id", "user_id", "ts", "ts_r", "value_r"])
+
+
 def q_range_join(sf_dir):
     """All purchases within the 24h BEFORE each view (inner interval join)."""
     from engine.ops.rangejoin import range_join
@@ -669,10 +681,13 @@ ORACLE_SQL = {
         GROUP BY label""",
 }
 
+ORACLE_SQL["asof_broadcast"] = ORACLE_SQL["asof_join"]
+
 QUERIES = {
     "asof_join": q_asof_join,
     "asof_strict": q_asof_strict,
     "asof_tolerance": q_asof_tolerance,
+    "asof_broadcast": q_asof_broadcast,
     "range_join": q_range_join,
     "lag_lead": q_lag_lead,
     "rolling_24h": q_rolling_24h,

@@ -95,3 +95,27 @@ def test_asof_tie_picks_last_right_row(ray_session):
     )
     got = asof_join(left, right, on="e", right_cols=["v"], num_partitions=2).to_pandas()
     assert got["v_r"].iloc[0] == 2.0
+
+
+def test_asof_broadcast_matches_shuffle_path(ray_session):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from engine.ops.asof import asof_join, asof_join_broadcast
+
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+
+    def ft(et):
+        return ev.map_batches(lambda t, e=et: t.filter(pc.equal(t["event_type"], e)),
+                              batch_format="pyarrow")
+
+    cols = ["event_id", "ts_r", "value_r"]
+    a = (asof_join(ft("view"), ft("purchase"), on="user_id", right_cols=["value"])
+         .select_columns(cols).to_pandas().sort_values("event_id").reset_index(drop=True))
+    b = (asof_join_broadcast(ft("view"),
+                             ft("purchase").select_columns(["user_id", "ts", "value"]),
+                             on="user_id", right_cols=["value"])
+         .select_columns(cols).to_pandas().sort_values("event_id").reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
