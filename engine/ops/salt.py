@@ -13,7 +13,6 @@ then run per (key, salt) first (partial) and re-combine per key (final)
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from engine.config import DEFAULT

@@ -7,8 +7,6 @@ otherwise rows-only (pytest oracles in tests/test_neardup.py etc.).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-import pyarrow as pa
 
 
 def _read(sf_dir: str, name: str, columns=None):
