@@ -454,6 +454,19 @@ def q_dedup_text_md5(sf_dir):
     return content_dedup(docs, "text", order_by="doc_id").select_columns(["doc_id"])
 
 
+def q_unnest_embeddings(sf_dir):
+    from engine.ops.explode import explode
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = explode(emb, "embedding")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t["vec_id"], "pos": t["pos"],
+                         "e": pa.array(sql_round(t["e"].to_numpy(zero_copy_only=False), 6))})
+
+    return out.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ----------------------------------------------------------- embeddings --
 
 def q_embedding_l2(sf_dir):
@@ -669,6 +682,10 @@ ORACLE_SQL = {
         SELECT doc_id FROM (
           SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
           FROM documents) WHERE rn = 1""",
+    "unnest_embeddings": """
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS e
+        FROM embeddings""",
     "embedding_l2": """
         SELECT vec_id, ROUND(sqrt(sum(e * e)), 5) AS l2
         FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
@@ -716,6 +733,7 @@ QUERIES = {
     "doc_tokens": q_doc_tokens,
     "dedup_events": q_dedup_events,
     "dedup_text_md5": q_dedup_text_md5,
+    "unnest_embeddings": q_unnest_embeddings,
     "embedding_l2": q_embedding_l2,
     "embedding_label_stats": q_embedding_label_stats,
 }
