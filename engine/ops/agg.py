@@ -97,6 +97,33 @@ def distinct_keys(ds, on: str):
     return pre.groupby(on).aggregate(Count(alias_name="__n")).drop_columns(["__n"])
 
 
+def collect_list(ds, key, col: str, order_by: str | None = None, out: str | None = None):
+    """Inverse of engine.ops.explode: per group, gather ``col`` into one
+    list (ordered by ``order_by`` when given). One groupby shuffle; the
+    per-group gather is a vectorized argsort + single ListArray build."""
+    keys = [key] if isinstance(key, str) else list(key)
+    out = out or f"{col}_list"
+
+    def grp(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0:
+            return t
+        v = t[col]
+        if order_by is not None:
+            order = np.argsort(t[order_by].to_numpy(zero_copy_only=False), kind="stable")
+            t = t.take(pa.array(order))
+            v = t[col]
+        row = {k: [t[k][0].as_py()] for k in keys}
+        vals = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        row[out] = pa.ListArray.from_arrays(pa.array([0, len(vals)], type=pa.int32()), vals)
+        cols = {k: pa.array(row[k]) for k in keys}
+        cols[out] = row[out]
+        return pa.table(cols)
+
+    return ds.groupby(keys).map_groups(grp, batch_format="pyarrow")
+
+
 def intersect_keys(left, right, on: str, right_on: str | None = None,
                    num_partitions: int | None = None):
     """Distinct keys present on BOTH sides (SQL INTERSECT on one column)."""

@@ -50,3 +50,21 @@ def test_explode_dataset_matches_duckdb(ray_session):
     np.testing.assert_array_equal(got["pos"].to_numpy(), exp["pos"].to_numpy())
     np.testing.assert_allclose(got["e"].to_numpy(dtype=np.float64),
                                exp["e"].to_numpy(dtype=np.float64), rtol=0, atol=0)
+
+
+def test_explode_collect_roundtrip(ray_session):
+    import ray.data as rd
+
+    from engine.ops.agg import collect_list
+    from engine.ops.explode import explode
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    back = collect_list(explode(emb, "embedding"), "vec_id", "e", order_by="pos",
+                        out="embedding")
+    got = back.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    orig = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert list(got["vec_id"]) == list(orig["vec_id"])
+    for g, o in zip(got["embedding"], orig["embedding"]):
+        np.testing.assert_array_equal(np.asarray(g, dtype=np.float32),
+                                      np.asarray(o, dtype=np.float32))
