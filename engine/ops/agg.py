@@ -55,6 +55,23 @@ def deterministic_sample(ds, key: str, frac: float):
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def stratified_sample(ds, group: str, key: str, fracs: dict, default_frac: float = 0.0):
+    """Per-group deterministic sampling (class rebalancing for training
+    sets): keep a row iff md5(str(key)) < frac(group value)·2³². Same
+    reproducibility properties as deterministic_sample; groups absent
+    from ``fracs`` keep ``default_frac`` of their rows."""
+    thresholds = {g: np.uint64(int(f * 4294967296)) for g, f in fracs.items()}
+    default_t = np.uint64(int(default_frac * 4294967296))
+
+    def flt(t: pa.Table) -> pa.Table:
+        h = _md5_u32(t[key].to_pylist())
+        gv = t[group].to_pylist()
+        cut = np.array([thresholds.get(g, default_t) for g in gv], dtype=np.uint64)
+        return t.filter(pa.array(h < cut))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def grouped_quantiles(ds, key, col: str, qs: tuple[float, ...] = (0.5,),
                       sample_frac: float | None = None, round_digits: int | None = None):
     """Exact per-group quantiles (linear interpolation, == quantile_cont).

@@ -291,6 +291,16 @@ def q_sample_events(sf_dir):
     return deterministic_sample(ev, "event_id", 0.1)
 
 
+def q_stratified_sample(sf_dir):
+    """Per-event-type deterministic sampling (class rebalancing)."""
+    from engine.ops.agg import stratified_sample
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    out = stratified_sample(ev, group="event_type", key="event_id",
+                            fracs={"view": 0.5, "purchase": 1.0}, default_frac=0.1)
+    return out.select_columns(["event_id"])
+
+
 def q_intersect_buyers_viewers(sf_dir):
     from engine.ops.agg import intersect_keys
 
@@ -649,6 +659,11 @@ ORACLE_SQL = {
         SELECT event_id FROM events
         WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
               < CAST(0.1 * 4294967296 AS UBIGINT)""",
+    "stratified_sample": """
+        SELECT event_id FROM events
+        WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              < CAST((CASE event_type WHEN 'view' THEN 0.5
+                      WHEN 'purchase' THEN 1.0 ELSE 0.1 END) * 4294967296 AS UBIGINT)""",
     "intersect_buyers_viewers": """
         SELECT user_id FROM events WHERE event_type = 'view'
         INTERSECT
@@ -722,6 +737,7 @@ QUERIES = {
     "asof_windowed": q_asof_windowed,
     "quantiles_by_type": q_quantiles_by_type,
     "sample_events": q_sample_events,
+    "stratified_sample": q_stratified_sample,
     "intersect_buyers_viewers": q_intersect_buyers_viewers,
     "except_viewers_only": q_except_viewers_only,
     "approx_distinct_users": q_approx_distinct_users,

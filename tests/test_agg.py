@@ -81,3 +81,25 @@ def test_intersect_except_keys(ray_session, con):
         EXCEPT SELECT user_id FROM events WHERE event_type='purchase'""").fetchdf()
     got_vals = set(got_e["user_id"]) if "user_id" in got_e.columns else set()
     assert got_vals == set(exp_e["user_id"])
+
+
+def test_stratified_sample_fracs_and_stability(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from engine.ops.agg import stratified_sample
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "event_type"])
+    out = stratified_sample(ev, "event_type", "event_id",
+                            fracs={"view": 0.5, "purchase": 1.0}, default_frac=0.0)
+    df = out.to_pandas()
+    full = ev.to_pandas()
+    n_purch = (full["event_type"] == "purchase").sum()
+    assert (df["event_type"] == "purchase").sum() == n_purch  # frac=1 keeps all
+    assert set(df["event_type"]) <= {"view", "purchase"}      # default 0 drops rest
+    n_view, n_view_full = (df["event_type"] == "view").sum(), (full["event_type"] == "view").sum()
+    assert abs(n_view / n_view_full - 0.5) < 0.15
+    # deterministic across re-execution
+    df2 = stratified_sample(ev.repartition(5), "event_type", "event_id",
+                            fracs={"view": 0.5, "purchase": 1.0}).to_pandas()
+    assert set(df2["event_id"]) == set(df["event_id"])
