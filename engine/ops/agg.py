@@ -99,6 +99,60 @@ def grouped_quantiles(ds, key, col: str, qs: tuple[float, ...] = (0.5,),
     return ds.groupby(keys).map_groups(grp, batch_format="pandas")
 
 
+def pivot(ds, index: str, column: str, value: str, categories: list,
+          agg: str = "sum", prefix: str | None = None):
+    """Wide conditional aggregate: one row per ``index`` value, one output
+    column per category of ``column`` holding agg(value) over matching
+    rows. Categories must be supplied (bounded, known set — at scale an
+    unbounded pivot is a schema explosion, so the engine refuses to infer
+    them). Per-batch partial pivot shrinks the exchange to
+    O(|index| x |categories|) before one small groupby-sum; "mean" is
+    computed as sum/count after the final combine (exact)."""
+    from ray.data.aggregate import Sum
+
+    if agg not in ("sum", "count", "mean"):
+        raise ValueError(f"unsupported pivot agg: {agg}")
+    pre = prefix if prefix is not None else f"{agg}_{value}_"
+    cats = list(categories)
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = t[index].to_numpy(zero_copy_only=False)
+        cat = np.asarray(t[column].to_pylist())
+        v = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(idx, return_inverse=True)
+        cols = {index: pa.array(uniq)}
+        for c in cats:
+            m = cat == c
+            s = np.zeros(len(uniq))
+            n = np.zeros(len(uniq))
+            np.add.at(s, inv[m], v[m])
+            np.add.at(n, inv[m], 1.0)
+            cols[f"__s_{c}"] = pa.array(s)
+            cols[f"__n_{c}"] = pa.array(n)
+        return pa.table(cols)
+
+    aggs = []
+    for c in cats:
+        aggs.append(Sum(f"__s_{c}", alias_name=f"__s_{c}"))
+        aggs.append(Sum(f"__n_{c}", alias_name=f"__n_{c}"))
+    combined = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(index)
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    out = pd.DataFrame({index: combined[index]})
+    for c in cats:
+        s, n = combined[f"__s_{c}"], combined[f"__n_{c}"]
+        if agg == "sum":
+            out[f"{pre}{c}"] = s
+        elif agg == "count":
+            out[f"{pre}{c}"] = n.astype("int64")
+        else:
+            out[f"{pre}{c}"] = s / n.where(n > 0)
+    return out
+
+
 def distinct_keys(ds, on: str):
     """DISTINCT on one column: per-batch local dedup (shrinks the
     exchange), then groupby-aggregate (whose reduce emits schema-stable

@@ -277,6 +277,18 @@ def q_asof_windowed(sf_dir):
     return res
 
 
+def q_pivot_user_by_type(sf_dir):
+    """Wide pivot: per user, sum(value) per event_type column."""
+    from engine.ops.agg import pivot
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    out = pivot(ev, index="user_id", column="event_type", value="value",
+                categories=["view", "purchase", "click"], agg="sum")
+    for c in ["sum_value_view", "sum_value_purchase", "sum_value_click"]:
+        out[c] = sql_round(out[c], 6)
+    return out
+
+
 def q_quantiles_by_type(sf_dir):
     from engine.ops.agg import grouped_quantiles
 
@@ -649,6 +661,12 @@ ORACLE_SQL = {
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS session_idx
         FROM w""",
+    "pivot_user_by_type": """
+        SELECT user_id,
+               ROUND(SUM(CASE WHEN event_type='view' THEN value ELSE 0 END), 6) AS sum_value_view,
+               ROUND(SUM(CASE WHEN event_type='purchase' THEN value ELSE 0 END), 6) AS sum_value_purchase,
+               ROUND(SUM(CASE WHEN event_type='click' THEN value ELSE 0 END), 6) AS sum_value_click
+        FROM events GROUP BY user_id""",
     "quantiles_by_type": """
         SELECT event_type,
                ROUND(quantile_cont(value, 0.25), 6) AS p25_value,
@@ -735,6 +753,7 @@ QUERIES = {
     "semi_customers": q_semi_customers,
     "anti_low_value": q_anti_low_value,
     "asof_windowed": q_asof_windowed,
+    "pivot_user_by_type": q_pivot_user_by_type,
     "quantiles_by_type": q_quantiles_by_type,
     "sample_events": q_sample_events,
     "stratified_sample": q_stratified_sample,

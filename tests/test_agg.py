@@ -103,3 +103,23 @@ def test_stratified_sample_fracs_and_stability(ray_session):
     df2 = stratified_sample(ev.repartition(5), "event_type", "event_id",
                             fracs={"view": 0.5, "purchase": 1.0}).to_pandas()
     assert set(df2["event_id"]) == set(df["event_id"])
+
+
+def test_pivot_count_and_mean(ray_session, con):
+    import ray.data as rd
+
+    from engine.ops.agg import pivot
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type", "value"])
+    cats = ["view", "purchase"]
+    got = (pivot(ev, "user_id", "event_type", "value", cats, agg="mean")
+           .sort_values("user_id").reset_index(drop=True))
+    exp = con.execute("""
+        SELECT user_id,
+               AVG(CASE WHEN event_type='view' THEN value END) AS m_view,
+               AVG(CASE WHEN event_type='purchase' THEN value END) AS m_purchase
+        FROM events GROUP BY user_id ORDER BY user_id""").fetchdf()
+    np.testing.assert_allclose(got["mean_value_view"].to_numpy(),
+                               exp["m_view"].to_numpy(), rtol=0, atol=1e-9)
+    np.testing.assert_allclose(got["mean_value_purchase"].to_numpy(),
+                               exp["m_purchase"].to_numpy(), rtol=0, atol=1e-9)
