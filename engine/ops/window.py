@@ -130,3 +130,64 @@ def rolling(
         return df
 
     return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pandas")
+
+
+def expanding(
+    ds,
+    entity: str,
+    ts: str = "ts",
+    cols: list[str] = ("value",),
+    aggs: list[str] = ("count", "sum", "mean"),
+    tie_break: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Cumulative (expanding) aggregates per entity ordered by
+    (ts, tie_break) — SQL `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+    ROW`. Same one-shuffle partition-local pattern as rolling()."""
+    cols = list(cols)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sorted_group(df, entity, ts, tie_break)
+        g = df.groupby(entity, sort=False)
+        for c in cols:
+            if "count" in aggs:
+                df[f"cum_count_{c}"] = g[c].cumcount() + 1
+            if "sum" in aggs:
+                df[f"cum_sum_{c}"] = g[c].cumsum()
+            if "mean" in aggs:
+                df[f"cum_mean_{c}"] = g[c].cumsum() / (g[c].cumcount() + 1)
+            if "min" in aggs:
+                df[f"cum_min_{c}"] = g[c].cummin()
+            if "max" in aggs:
+                df[f"cum_max_{c}"] = g[c].cummax()
+        return df
+
+    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pandas")
+
+
+def tumbling(
+    ds,
+    entity: str,
+    ts: str = "ts",
+    width_us: int = 24 * 3600 * 1_000_000,
+    value: str = "value",
+    num_partitions: int | None = None,
+):
+    """Fixed-width (tumbling) window aggregate per entity: rows bucketed
+    by floor(ts / width), one output row per (entity, window_start) with
+    count/sum/min/max — the batch analog of a streaming tumbling window.
+    ONE shuffle on (entity); the bucket key is computed in the same
+    partition-local pass (no second exchange on the bucket)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        tsv = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        win = (tsv // width_us) * width_us
+        df = df.assign(window_start=win.astype("datetime64[us]"))
+        out = (
+            df.groupby([entity, "window_start"], sort=False)[value]
+            .agg(n_events="count", sum_value="sum", min_value="min", max_value="max")
+            .reset_index()
+        )
+        return out.drop(columns=[_PKEY], errors="ignore")
+
+    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pandas")

@@ -116,6 +116,30 @@ def q_rolling_24h(sf_dir):
     })
 
 
+def q_expanding(sf_dir):
+    from engine.ops.window import expanding
+
+    ev = _read(sf_dir, "events")
+    out = expanding(ev, entity="user_id", cols=["value"], aggs=["count", "sum", "min", "max"],
+                    tie_break="event_id").to_pandas()
+    return pd.DataFrame({
+        "event_id": out["event_id"],
+        "cum_count_value": out["cum_count_value"].astype("int64"),
+        "cum_sum_value": sql_round(out["cum_sum_value"], 6),
+        "cum_min_value": out["cum_min_value"],
+        "cum_max_value": out["cum_max_value"],
+    })
+
+
+def q_tumbling_daily(sf_dir):
+    from engine.ops.window import tumbling
+
+    ev = _read(sf_dir, "events")
+    out = tumbling(ev, entity="user_id", width_us=86_400_000_000).to_pandas()
+    out["sum_value"] = sql_round(out["sum_value"], 6)
+    return out[["user_id", "window_start", "n_events", "sum_value", "min_value", "max_value"]]
+
+
 def q_sessionize(sf_dir):
     from engine.ops.session import sessionize
 
@@ -584,6 +608,21 @@ ORACLE_SQL = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)""",
+    "expanding": """
+        SELECT event_id,
+               CAST(COUNT(value) OVER w AS BIGINT) AS cum_count_value,
+               ROUND(SUM(value) OVER w, 6) AS cum_sum_value,
+               MIN(value) OVER w AS cum_min_value,
+               MAX(value) OVER w AS cum_max_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "tumbling_daily": """
+        SELECT user_id,
+               make_timestamp((epoch_us(ts)//86400000000)*86400000000) AS window_start,
+               COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY 1, 2""",
     "sessionize": SESSION_SQL,
     "backfill_daily": """
         WITH grid AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS ts FROM events)
@@ -741,6 +780,8 @@ QUERIES = {
     "range_join": q_range_join,
     "lag_lead": q_lag_lead,
     "rolling_24h": q_rolling_24h,
+    "expanding": q_expanding,
+    "tumbling_daily": q_tumbling_daily,
     "sessionize": q_sessionize,
     "backfill_daily": q_backfill_daily,
     "q1_pricing_summary": q1_pricing_summary,
