@@ -99,6 +99,30 @@ def grouped_quantiles(ds, key, col: str, qs: tuple[float, ...] = (0.5,),
     return ds.groupby(keys).map_groups(grp, batch_format="pandas")
 
 
+def grouped_topk(ds, key, order_col: str, k: int, descending: bool = True,
+                 tie_break: str | None = None):
+    """Top-k rows per group by ``order_col`` (SQL ROW_NUMBER() <= k).
+
+    Two-level: each batch keeps its local per-group top-k inside
+    map_batches (shrinks the exchange to <= k rows per group per block),
+    then one groupby finishes the selection — the grouped analog of
+    sort().limit()."""
+    keys = [key] if isinstance(key, str) else list(key)
+    sort_cols = [order_col] + ([tie_break] if tie_break else [])
+    asc = [not descending] + ([True] if tie_break else [])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(sort_cols, ascending=asc, kind="stable")
+                .groupby(keys, sort=False).head(k))
+
+    pre = ds.map_batches(local, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(sort_cols, ascending=asc, kind="stable").head(k))
+
+    return pre.groupby(keys).map_groups(final, batch_format="pandas")
+
+
 def pivot(ds, index: str, column: str, value: str, categories: list,
           agg: str = "sum", prefix: str | None = None):
     """Wide conditional aggregate: one row per ``index`` value, one output

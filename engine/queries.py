@@ -213,6 +213,15 @@ def q_topk_orders(sf_dir):
     )
 
 
+def q_topk_per_user(sf_dir):
+    """Top-2 highest-value events per user (grouped top-k)."""
+    from engine.ops.agg import grouped_topk
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = grouped_topk(ev, "user_id", "value", k=2, descending=True, tie_break="event_id")
+    return out.select_columns(["event_id"])
+
+
 def q_filter_scan(sf_dir):
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"])
 
@@ -657,6 +666,11 @@ ORACLE_SQL = {
     "topk_orders": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "topk_per_user": """
+        SELECT event_id FROM (
+          SELECT event_id, ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY value DESC, event_id) AS rn
+          FROM events) WHERE rn <= 2""",
     "filter_scan": """
         SELECT l_orderkey, l_linenumber FROM lineitem
         WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1998-01-01'""",
@@ -788,6 +802,7 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "topk_orders": q_topk_orders,
+    "topk_per_user": q_topk_per_user,
     "filter_scan": q_filter_scan,
     "join_orders_customer": q_join_orders_customer,
     "broadcast_nation": q_broadcast_nation,
