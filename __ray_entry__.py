@@ -13,8 +13,48 @@ where SQL cannot express them).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# The driver may import this module (by file path) from any cwd and with any
+# sys.path.  Two consequences we must absorb here, or every query fails with
+# "No module named 'engine'":
+#   1. the driver process needs the repo root on sys.path to import `engine`;
+#   2. Ray WORKER processes unpickle map functions by module reference
+#      ("engine.ops.x.fn") and have no repo root on their sys.path unless the
+#      driver happened to ray.init() with cwd == repo root.  We cannot touch
+#      the already-running workers' environment, so instead register every
+#      engine module for cloudpickle BY-VALUE serialization: functions and
+#      classes then ship self-contained and never import `engine` remotely.
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def _register_self_contained() -> None:
+    import importlib
+    import pkgutil
+
+    import engine
+
+    for _finder, name, _ispkg in pkgutil.walk_packages(engine.__path__, "engine."):
+        try:
+            importlib.import_module(name)
+        except ImportError:
+            pass
+    try:
+        import ray.cloudpickle as _cp
+
+        for mname, mod in list(sys.modules.items()):
+            if mod is not None and (mname == "engine" or mname.startswith("engine.")):
+                _cp.register_pickle_by_value(mod)
+    except Exception:
+        pass  # workers sharing the repo cwd still resolve by reference
+
+
+_register_self_contained()
 
 
 def entry() -> Any:

@@ -6,7 +6,7 @@ the lineage sidecar — behind a thin adapter; `ray.data.read_lance` /
 `write_lance` (present in Ray 2.49) can be swapped in when the package
 exists (same fragment/version concepts).
 
-    <uri>/data/frag-<k>-epoch-<e>.parquet
+    <uri>/data/frag-<k>-v<version>-epoch-<e>.parquet
     <uri>/_versions/<v>.manifest.json   {version, fragments:[{id,path,rows}], schema}
     <uri>/_lineage/part-<k>.json        engine/lineage.py records
 
@@ -83,7 +83,13 @@ class TableIO:
         row_cursor = 0
         for i, p in enumerate(sorted(staging.glob("*.parquet"))):
             fid = start_id + i
-            name = f"frag-{fid}-epoch-{epoch}.parquet"
+            # Version-qualified names: an overwrite restarts fragment ids
+            # at 0, so a bare frag-<id>-epoch-<e> name would clobber files
+            # that EARLIER manifest versions still reference and silently
+            # break time travel (read(uri, version=<old>)).
+            name = f"frag-{fid}-v{next_version}-epoch-{epoch}.parquet"
+            if (data / name).exists():
+                raise FileExistsError(f"fragment {name} already exists under {data}")
             os.rename(p, data / name)
             rows = pq.read_metadata(data / name).num_rows
             new_frags.append({"id": fid, "path": f"data/{name}", "rows": rows})

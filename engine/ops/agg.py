@@ -31,58 +31,151 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _md5_u32(values) -> np.ndarray:
-    """First 32 bits of md5(str(v)) per value, as uint64 (md5 is C per call)."""
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
+def _md5_u32(col) -> np.ndarray:
+    """First 32 bits of md5(str(v)) per value, as uint64.
+
+    Accepts a pyarrow Array/ChunkedArray (or any sequence). The per-value
+    Python-object churn (str() + encode + hexdigest + int(,16)) is replaced
+    by ONE vectorized arrow cast to a contiguous utf-8 buffer, then md5 C
+    calls over memoryview slices — md5 itself is inherently per-value, but
+    nothing else is. For a fully vectorized sampler use splitmix64 below.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        s = pc.cast(col, pa.large_string()) if not pa.types.is_large_string(col.type) else col
+        n = len(s)
+        offs = np.frombuffer(s.buffers()[1], dtype=np.int64, count=n + 1, offset=8 * s.offset)
+        mv = memoryview(s.buffers()[2])
+        md5 = hashlib.md5
+        fb = int.from_bytes
+        out = np.fromiter(
+            (fb(md5(mv[offs[i] : offs[i + 1]]).digest()[:4], "big") for i in range(n)),
+            dtype=np.uint64, count=n,
+        )
+        return out
+    out = np.empty(len(col), dtype=np.uint64)
+    for i, v in enumerate(col):
         s = v if isinstance(v, str) else str(v)
         out[i] = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
     return out
 
 
-def deterministic_sample(ds, key: str, frac: float):
-    """Content-deterministic row sample: md5(str(key))[:32 bits] < frac·2³².
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wraparound multiply).
 
-    SQL oracle: ``WHERE CAST(('0x' || substr(md5(CAST(key AS VARCHAR)),1,8))
-    AS UBIGINT) < CAST(frac * 4294967296 AS UBIGINT)``.
+    DuckDB twin (HUGEINT emulates the mod-2^64 multiply)::
+
+        CAST((CAST(x # (x >> 30) AS HUGEINT) * 13787848793156543929)
+             % 18446744073709551616 AS UBIGINT)   -- stage 1, etc.
     """
-    threshold = np.uint64(int(frac * 4294967296))
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64, copy=True)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _mulmod64_sql(x: str, c: int) -> str:
+    """(x * c) mod 2^64 in DuckDB. HUGEINT is SIGNED 128-bit, so a full
+    64x64 product overflows; split the constant: x*c = x*cl + (x*ch mod
+    2^32)*2^32 (mod 2^64), every intermediate < 2^97."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (f"CAST((CAST({x} AS HUGEINT) * {cl} + "
+            f"((CAST({x} AS HUGEINT) * {ch}) % 4294967296) * 4294967296) "
+            f"% 18446744073709551616 AS UBIGINT)")
+
+
+def splitmix64_sql(expr: str) -> str:
+    """The DuckDB expression computing splitmix64(expr) as UBIGINT."""
+    x0 = f"CAST({expr} AS UBIGINT)"
+    x1 = _mulmod64_sql(f"xor({x0}, {x0} >> 30)", 0xBF58476D1CE4E5B9)
+    x2 = _mulmod64_sql(f"xor({x1}, {x1} >> 27)", 0x94D049BB133111EB)
+    return f"xor({x2}, {x2} >> 31)"
+
+
+def _hash_u64(col, hash_fn: str) -> np.ndarray:
+    if hash_fn == "md5":
+        return _md5_u32(col)
+    if hash_fn == "splitmix64":
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.to_numpy(zero_copy_only=False)
+        return splitmix64(v.astype(np.int64).view(np.uint64))
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
+def _hash_modulus(hash_fn: str) -> int:
+    return 4294967296 if hash_fn == "md5" else 18446744073709551616
+
+
+def deterministic_sample(ds, key: str, frac: float, hash_fn: str = "md5"):
+    """Content-deterministic row sample: hash(key) < frac·modulus.
+
+    hash_fn="md5" (default): md5(str(key))[:32 bits]; SQL oracle
+    ``WHERE CAST(('0x' || substr(md5(CAST(key AS VARCHAR)),1,8))
+    AS UBIGINT) < CAST(frac * 4294967296 AS UBIGINT)``. Portable to any
+    SQL engine but md5 is per-value C calls.
+
+    hash_fn="splitmix64": fully vectorized numpy path for integer keys —
+    the 100-TB full-scan choice; SQL oracle via ``splitmix64_sql``.
+    """
+    threshold = np.uint64(int(frac * _hash_modulus(hash_fn)))
 
     def flt(t: pa.Table) -> pa.Table:
-        mask = _md5_u32(t[key].to_pylist()) < threshold
+        mask = _hash_u64(t[key], hash_fn) < threshold
         return t.filter(pa.array(mask))
 
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def stratified_sample(ds, group: str, key: str, fracs: dict, default_frac: float = 0.0):
+def stratified_sample(ds, group: str, key: str, fracs: dict, default_frac: float = 0.0,
+                      hash_fn: str = "md5"):
     """Per-group deterministic sampling (class rebalancing for training
-    sets): keep a row iff md5(str(key)) < frac(group value)·2³². Same
+    sets): keep a row iff hash(key) < frac(group value)·modulus. Same
     reproducibility properties as deterministic_sample; groups absent
     from ``fracs`` keep ``default_frac`` of their rows."""
-    thresholds = {g: np.uint64(int(f * 4294967296)) for g, f in fracs.items()}
-    default_t = np.uint64(int(default_frac * 4294967296))
+    mod = _hash_modulus(hash_fn)
+    thresholds = {g: np.uint64(int(f * mod)) for g, f in fracs.items()}
+    default_t = np.uint64(int(default_frac * mod))
 
     def flt(t: pa.Table) -> pa.Table:
-        h = _md5_u32(t[key].to_pylist())
-        gv = t[group].to_pylist()
-        cut = np.array([thresholds.get(g, default_t) for g in gv], dtype=np.uint64)
+        h = _hash_u64(t[key], hash_fn)
+        # dictionary-encode so the python dict lookup runs once per UNIQUE
+        # group value, not once per row
+        enc = t[group].combine_chunks().dictionary_encode()
+        cuts = np.array([thresholds.get(g, default_t) for g in enc.dictionary.to_pylist()],
+                        dtype=np.uint64)
+        cut = cuts[enc.indices.to_numpy(zero_copy_only=False)] if len(cuts) else np.array([], dtype=np.uint64)
         return t.filter(pa.array(h < cut))
 
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def grouped_quantiles(ds, key, col: str, qs: tuple[float, ...] = (0.5,),
-                      sample_frac: float | None = None, round_digits: int | None = None):
+                      sample_frac: float | None = None, round_digits: int | None = None,
+                      sample_key: str | None = None, hash_fn: str = "md5"):
     """Exact per-group quantiles (linear interpolation, == quantile_cont).
 
     One shuffle (the groupby); each group computed in a single vectorized
     np.quantile call. ``sample_frac`` switches to the deterministic-sample
     approximation for groups that cannot be materialized whole.
+    ``sample_key`` names a row-IDENTITY column to hash for that thinning —
+    required with sample_frac: hashing the value column itself would keep
+    or drop every row sharing a value together, which biases the estimate
+    arbitrarily for discrete/rounded/zero-inflated distributions (a heavily
+    repeated median can vanish from the sample entirely).
     """
     keys = [key] if isinstance(key, str) else list(key)
     if sample_frac is not None:
-        ds = deterministic_sample(ds, col, sample_frac)
+        if sample_key is None:
+            raise ValueError(
+                "grouped_quantiles(sample_frac=...) needs sample_key= (a row-identity "
+                "column); sampling on the value column biases repeated values")
+        ds = deterministic_sample(ds, sample_key, sample_frac, hash_fn=hash_fn)
 
     def grp(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].to_numpy(dtype=np.float64)

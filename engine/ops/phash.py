@@ -14,21 +14,27 @@ column exactly (exactness oracle, SURVEY.md §5.2).
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import numpy as np
 
 PREFIX_BITS_DEFAULT = 16
 
+# Plain-dict memo, NOT functools.lru_cache: lru_cache wrappers carry a
+# __reduce__ that pickles by qualified name, which defeats the
+# pickle-by-value registration __ray_entry__ relies on so the driver can
+# run this engine from any cwd (workers would raise ModuleNotFoundError).
+_DCT_CACHE: dict[int, np.ndarray] = {}
 
-@lru_cache(maxsize=None)
+
 def dct_matrix(n: int = 32) -> np.ndarray:
     """Orthonormal DCT-II basis: D[k,m] = c(k) cos(pi (2m+1) k / 2n)."""
-    k = np.arange(n)[:, None].astype(np.float64)
-    m = np.arange(n)[None, :].astype(np.float64)
-    d = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
-    d[0] *= np.sqrt(1.0 / n)
-    d[1:] *= np.sqrt(2.0 / n)
+    d = _DCT_CACHE.get(n)
+    if d is None:
+        k = np.arange(n)[:, None].astype(np.float64)
+        m = np.arange(n)[None, :].astype(np.float64)
+        d = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+        d[0] *= np.sqrt(1.0 / n)
+        d[1:] *= np.sqrt(2.0 / n)
+        _DCT_CACHE[n] = d
     return d
 
 

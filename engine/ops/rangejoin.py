@@ -113,15 +113,22 @@ def range_join(
         uni, inv = np.unique(np.concatenate([lkeys, rkeys]), return_inverse=True)
         lcode, rcode = inv[:nl].astype(np.int64), inv[nl:].astype(np.int64)
 
-        tmin = min(lts.min(), rts.min())
-        ntl, ntr = lts - tmin, rts - tmin
-        span = np.int64(max(ntl.max(), ntr.max()))
-        base = span + lo64 + hi64 + np.int64(2)
-        rkey = rcode * base + ntr
+        # Dense timestamp ranks (query boundaries included in the rank
+        # table) bound the composite-key factor by ROW COUNT: the raw
+        # value-space key rcode * (span + lo + hi + 2) + offset silently
+        # wraps int64 once entities-per-partition x time-span grows (e.g.
+        # ~50k entities over a 10-year microsecond span). Ranks preserve
+        # <=, so searchsorted over ranked keys matches value-space search.
+        qlo, qhi = lts - lo64, lts + hi64
+        uts, inv = np.unique(np.concatenate([rts, qlo, qhi]), return_inverse=True)
+        base = np.int64(uts.size + 1)
+        if rcode.size and np.int64(max(lcode.max(), rcode.max())) > (np.iinfo(np.int64).max - base) // base:
+            raise OverflowError("range_join partition too large for composite keys")
+        rkey = rcode * base + inv[:nr]
         order = np.argsort(rkey, kind="stable")
         rkey_s = rkey[order]
-        lo_q = lcode * base + np.maximum(ntl - lo64, 0)
-        hi_q = lcode * base + np.minimum(ntl + hi64, span)
+        lo_q = lcode * base + inv[nr : nr + nl]
+        hi_q = lcode * base + inv[nr + nl :]
         lo_idx = np.searchsorted(rkey_s, lo_q, side="left")
         hi_idx = np.searchsorted(rkey_s, hi_q, side="right")
         counts = hi_idx - lo_idx

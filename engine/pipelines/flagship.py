@@ -89,12 +89,17 @@ def window_pass(t, entity: str, ts: str = "ts", value: str = "value",
     second[1:] = change[:-1]  # second row of each entity
     lag2[second] = np.nan
 
-    # banded rolling: one global searchsorted for all entities
-    nt = tsv - tsv.min()
-    span = int(nt.max()) if n else 0
-    base = np.int64(span + window_us + 2)
-    ck = codes * base + nt
-    lo = np.searchsorted(ck, ck - window_us, side="left")
+    # banded rolling: one global searchsorted for all entities. Dense
+    # timestamp ranks (window-start probes included in the rank table)
+    # bound the band factor by row count — the value-space key
+    # codes * (span + window + 2) + ts wraps int64 once
+    # entities x microsecond-span grows; ranks preserve <= so the
+    # searchsorted bounds are identical.
+    qlo_ts = tsv - window_us
+    uts, inv = np.unique(np.concatenate([tsv, qlo_ts]), return_inverse=True)
+    base = np.int64(uts.size + 1)
+    ck = codes * base + inv[:n]
+    lo = np.searchsorted(ck, codes * base + inv[n:], side="left")
     hi = np.searchsorted(ck, ck, side="right")
     cs = np.concatenate([[0.0], np.cumsum(v)])
     cnt = (hi - lo).astype(np.int64)

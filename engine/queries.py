@@ -336,6 +336,15 @@ def q_sample_events(sf_dir):
     return deterministic_sample(ev, "event_id", 0.1)
 
 
+def q_sample_events_fast(sf_dir):
+    """Vectorized splitmix64 sampler — the 100-TB full-scan path (the md5
+    variant stays as the portable default; this one is pure numpy)."""
+    from engine.ops.agg import deterministic_sample
+
+    ev = _read(sf_dir, "events", columns=["event_id"])
+    return deterministic_sample(ev, "event_id", 0.1, hash_fn="splitmix64")
+
+
 def q_stratified_sample(sf_dir):
     """Per-event-type deterministic sampling (class rebalancing)."""
     from engine.ops.agg import stratified_sample
@@ -730,6 +739,26 @@ ORACLE_SQL = {
         SELECT event_id FROM events
         WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
               < CAST(0.1 * 4294967296 AS UBIGINT)""",
+    # splitmix64 twin of engine.ops.agg.splitmix64 / splitmix64_sql, staged
+    # through CTEs (the inlined expression explodes combinatorially).
+    # 484763065/3210233709 and 321982955/2496678331 are the lo/hi 32-bit
+    # halves of the two splitmix64 constants; threshold = int(0.1 * 2^64).
+    "sample_events_fast": """
+        WITH h1 AS (
+          SELECT event_id, xor(CAST(event_id AS UBIGINT),
+                               CAST(event_id AS UBIGINT) >> 30) AS y FROM events
+        ), h2 AS (
+          SELECT event_id, CAST((CAST(y AS HUGEINT) * 484763065 +
+                ((CAST(y AS HUGEINT) * 3210233709) % 4294967296) * 4294967296)
+                % 18446744073709551616 AS UBIGINT) AS x FROM h1
+        ), h3 AS (
+          SELECT event_id, xor(x, x >> 27) AS y FROM h2
+        ), h4 AS (
+          SELECT event_id, CAST((CAST(y AS HUGEINT) * 321982955 +
+                ((CAST(y AS HUGEINT) * 2496678331) % 4294967296) * 4294967296)
+                % 18446744073709551616 AS UBIGINT) AS x FROM h3
+        )
+        SELECT event_id FROM h4 WHERE xor(x, x >> 31) < 1844674407370955264""",
     "stratified_sample": """
         SELECT event_id FROM events
         WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)
@@ -812,6 +841,7 @@ QUERIES = {
     "pivot_user_by_type": q_pivot_user_by_type,
     "quantiles_by_type": q_quantiles_by_type,
     "sample_events": q_sample_events,
+    "sample_events_fast": q_sample_events_fast,
     "stratified_sample": q_stratified_sample,
     "intersect_buyers_viewers": q_intersect_buyers_viewers,
     "except_viewers_only": q_except_viewers_only,

@@ -123,3 +123,31 @@ def test_pivot_count_and_mean(ray_session, con):
                                exp["m_view"].to_numpy(), rtol=0, atol=1e-9)
     np.testing.assert_allclose(got["mean_value_purchase"].to_numpy(),
                                exp["m_purchase"].to_numpy(), rtol=0, atol=1e-9)
+
+
+def test_splitmix64_matches_duckdb_twin():
+    import duckdb
+    import numpy as np
+
+    from engine.ops.agg import splitmix64, splitmix64_sql
+
+    rng = np.random.default_rng(11)
+    x = np.concatenate([
+        np.array([0, 1, 2**31, 2**63 - 1, 2**64 - 1], dtype=np.uint64),
+        rng.integers(0, 2**64, 200, dtype=np.uint64),
+    ])
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT {splitmix64_sql('x')} FROM (SELECT UNNEST(CAST(? AS UBIGINT[])) AS x)",
+        [[int(v) for v in x]],
+    ).fetchall()
+    assert np.array_equal(splitmix64(x), np.array([r[0] for r in rows], dtype=np.uint64))
+
+
+def test_grouped_quantiles_sample_key_required():
+    import pytest as _pytest
+
+    from engine.ops.agg import grouped_quantiles
+
+    with _pytest.raises(ValueError, match="sample_key"):
+        grouped_quantiles(None, "k", "v", sample_frac=0.5)

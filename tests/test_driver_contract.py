@@ -47,3 +47,28 @@ def test_entry_smoke(ray_session):
     assert n > 0
     cols = set(ds.schema().names)
     assert {"event_id", "session_idx", "roll_mean_value", "value_last_purchase"} <= cols
+
+
+def test_runs_from_foreign_cwd():
+    """Round-1 regression: the driver may import __ray_entry__ (by file
+    path) from ANY cwd; Ray workers then cannot `import engine` unless the
+    entry module registered every engine module for pickle-by-value. Run a
+    worker-executing query in a subprocess whose cwd is NOT the repo."""
+    import subprocess
+
+    code = (
+        "import ray, importlib.util\n"
+        "ray.init(address='local', num_cpus=2, include_dashboard=False)\n"
+        "spec = importlib.util.spec_from_file_location('__ray_entry__', "
+        "'/root/repo/__ray_entry__.py')\n"
+        "m = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(m)\n"
+        "n = m.queries()['images_featurize']('/root/testdata/sf0.001').count()\n"
+        "assert n == 400, n\n"
+        "print('FOREIGN_CWD_OK')\n"
+    )
+    env = {k: v for k, v in __import__('os').environ.items() if k != 'PYTHONPATH'}
+    env.pop('RAY_ADDRESS', None)
+    out = subprocess.run([sys.executable, '-c', code], cwd='/tmp', env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert 'FOREIGN_CWD_OK' in out.stdout, out.stderr[-2000:]

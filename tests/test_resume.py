@@ -93,3 +93,18 @@ def test_plan_partitions_balanced():
     assert sum(len(p) for p in parts) == 10
     sizes = [sum(f["rows"] for f in p) for p in parts]
     assert max(sizes) <= 400 and min(sizes) >= 100
+
+
+def test_time_travel_overwrite_preserves_old_fragments(ray_session, tmp_path):
+    """Overwrite must NOT clobber fragments older manifest versions still
+    reference (fragment names are version-qualified)."""
+    import ray.data as rd
+
+    uri = str(tmp_path / "tt")
+    TableIO.write(rd.range(100), uri)                       # version 0
+    TableIO.write(rd.range(7), uri, mode="overwrite")       # version 1
+    assert TableIO.versions(uri) == [0, 1]
+    assert TableIO.read(uri, version=0).count() == 100
+    assert TableIO.read(uri, version=1).count() == 7
+    v0 = sorted(TableIO.read(uri, version=0).to_pandas()["id"])
+    assert v0 == list(range(100))
