@@ -24,7 +24,6 @@ path is asserted in tests/test_partition_invariance.py.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from engine.ops.asof import asof_join
@@ -93,37 +92,66 @@ def asof_time_sliced(left, right, on: str, boundaries_us: list[int],
 
     # carry-in: last right row per (entity, slice), forward-propagated.
     # Derived from the small per-(entity, slice) reduction, not the full
-    # right side; at production scale this table is maintained
-    # incrementally per time partition (see module docstring).
+    # right side — and propagated DISTRIBUTEDLY: one entity-hash shuffle
+    # over that small table, then a vectorized replicate-forward pass per
+    # partition (no driver loop over entities x slices; at production
+    # scale this table is maintained incrementally per time partition).
     rt = right.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     keep = [on, ts] + list(right_cols) + ["__slice"]
-    last_per = (
-        rt.select_columns(keep)
-        .groupby([on, "__slice"])
-        .map_groups(lambda df: df.sort_values(ts, kind="stable").tail(1), batch_format="pandas")
-        .to_pandas()
-    )
     n_slices = len(bounds) + 1
-    carries = []
-    for ent, g in last_per.groupby(on, sort=False):
-        g = g.sort_values("__slice")
-        rows, idx = g.to_dict("records"), 0
-        latest = None
-        for k in range(n_slices):
-            while idx < len(rows) and rows[idx]["__slice"] < k:
-                latest = rows[idx]
-                idx += 1
-            if latest is not None:
-                c = dict(latest)
-                c["__slice"] = k
-                carries.append(c)
-    import ray.data as rd
+
+    def last_row(t: pa.Table) -> pa.Table:
+        # pyarrow in/out so empty sort partitions keep their schema
+        if t.num_rows == 0:
+            return t
+        tsv = t[ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        i = int(np.flatnonzero(tsv == tsv.max())[-1])  # stable-tail tie rule
+        return t.take(pa.array([i]))
+
+    last_per = (rt.select_columns(keep)
+                .groupby([on, "__slice"])
+                .map_groups(last_row, batch_format="pyarrow"))
+
+    def propagate(t: pa.Table) -> pa.Table:
+        """Each last-per-(entity, slice=s) row becomes the carry-in for
+        every later slice up to the entity's next observed slice: replicate
+        it into slices s+1..next(s) (last observation runs to the final
+        slice). Pure take/repeat arithmetic — one pass, all entities."""
+        t = t.drop_columns(["__pkey"])
+        if t.num_rows == 0:
+            return t
+        ent = t[on].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(ent, return_inverse=True)
+        s = t["__slice"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, codes))
+        t = t.take(pa.array(order))
+        codes, s = codes[order], s[order]
+        n = len(s)
+        nxt = np.empty(n, dtype=np.int64)
+        nxt[:-1] = s[1:]
+        nxt[-1] = n_slices - 1
+        last_of_entity = np.empty(n, dtype=bool)
+        last_of_entity[:-1] = codes[1:] != codes[:-1]
+        last_of_entity[-1] = True
+        nxt[last_of_entity] = n_slices - 1
+        counts = np.maximum(nxt - s, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return t.slice(0, 0)
+        reps = np.repeat(np.arange(n), counts)
+        run_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        offs = np.arange(total) - np.repeat(run_starts, counts)
+        out = t.take(pa.array(reps))
+        return out.set_column(out.schema.get_field_index("__slice"), "__slice",
+                              pa.array((s[reps] + 1 + offs).astype(np.int32), type=pa.int32()))
+
+    from engine.ops.window import _partitioned
+
+    carries = _partitioned(last_per, on, num_partitions=16).map_groups(
+        propagate, batch_format="pyarrow")
 
     lt = left.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-    right_aug = rt.select_columns(keep)
-    if carries:
-        cdf = pd.DataFrame(carries)[keep]
-        right_aug = right_aug.union(rd.from_pandas(cdf))
+    right_aug = rt.select_columns(keep).union(carries.select_columns(keep))
 
     # merge per slice, reusing the entity-hash as-of merge with P=1 inside
     # each slice group: tag slice as the partition key.

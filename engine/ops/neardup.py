@@ -149,13 +149,31 @@ def _verify_jaccard_distributed(ds, cands: pd.DataFrame, id_col: str, text_col: 
     j = equi_join(j, sh, on="b", right_on=id_col).rename_columns(
         {"shingles": "shingles_b"})
 
+    def _views(col):
+        """Binary column -> (element offsets, one uint64 view of the whole
+        data buffer): per-pair work then slices views instead of paying
+        as_py + frombuffer object churn per row."""
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        arr = arr.cast(pa.large_binary())
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1,
+                             offset=8 * arr.offset)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8, count=int(offs[-1]))
+        return offs // 8, data.view(np.uint64)
+
     def jac(t: pa.Table) -> pa.Table:
         out = np.empty(t.num_rows)
-        sa, sb = t["shingles_a"], t["shingles_b"]
+        oa, da = _views(t["shingles_a"])
+        ob, db = _views(t["shingles_b"])
         for i in range(t.num_rows):
-            x = np.frombuffer(sa[i].as_py(), dtype=np.uint64)
-            y = np.frombuffer(sb[i].as_py(), dtype=np.uint64)
-            out[i] = len(np.intersect1d(x, y, assume_unique=True)) / len(np.union1d(x, y))
+            x = da[oa[i] : oa[i + 1]]
+            y = db[ob[i] : ob[i + 1]]
+            # both sorted unique (shingle_hashes applies np.unique):
+            # intersection size via one searchsorted, union by inclusion-
+            # exclusion — no union1d sort per pair
+            pos = np.searchsorted(x, y)
+            valid = pos < x.size
+            inter = int(np.count_nonzero(x[pos[valid]] == y[valid]))
+            out[i] = inter / (x.size + y.size - inter)
         return pa.table({"a": t["a"], "b": t["b"], "jaccard": pa.array(np.round(out, 6))})
 
     res = j.map_batches(jac, batch_format="pyarrow").to_pandas()
@@ -165,14 +183,16 @@ def _verify_jaccard_distributed(ds, cands: pd.DataFrame, id_col: str, text_col: 
 
 def minhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
                      num_perm: int = 64, bands: int = 16, k_shingle: int = 3,
-                     threshold: float = 0.7, seed: int = 42, verify: str = "broadcast"):
+                     threshold: float = 0.7, seed: int = 42, verify: str = "distributed"):
     """End-to-end MinHash-LSH near-dup: -> DataFrame(a, b, jaccard) of
     verified pairs (exact n-gram-shingle Jaccard >= threshold).
 
-    verify="broadcast": the doc->shingles map is built driver-side — fine
-    while the corpus's shingle sets fit in one heap (sandbox scale).
-    verify="distributed": shingle sets are re-joined onto the pair list by
-    doc id (two hash joins) — the 100 TB path; no driver-side corpus."""
+    verify="distributed" (default): shingle sets are re-joined onto the
+    pair list by doc id (two hash joins) — the 100 TB path; no driver-side
+    corpus materialization anywhere.
+    verify="broadcast": the doc->shingles map is built driver-side —
+    only for corpora whose shingle sets fit one heap (kept as the
+    test oracle for the distributed path)."""
     rows = num_perm // bands
     sigs = ds.map_batches(
         MinHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
@@ -187,7 +207,8 @@ def minhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
         jac = _verify_jaccard_distributed(ds, cands, id_col, text_col, k_shingle)
     else:
         docs = ds.select_columns([id_col, text_col]).to_pandas()
-        sh = {r[id_col]: shingle_hashes(r[text_col], k_shingle) for _, r in docs.iterrows()}
+        sh = {i: shingle_hashes(x, k_shingle)
+              for i, x in zip(docs[id_col], docs[text_col])}
         jac = np.array([
             len(np.intersect1d(sh[a], sh[b], assume_unique=True))
             / len(np.union1d(sh[a], sh[b]))
@@ -286,13 +307,21 @@ def _emb_matrix(t: pa.Table, col: str) -> np.ndarray:
 
 
 def embedding_near_dup_brute(ds, id_col: str = "vec_id", emb_col: str = "embedding",
-                             threshold: float = 0.4):
+                             threshold: float = 0.4, max_rows: int = 2_000_000):
     """Baseline O(n x N) path: normalized embeddings broadcast once; each
     batch computes cosine vs ALL rows (numpy matmul) and emits its pairs
-    (a < b). Exact; the LSH-bucketed variant below is the scale path."""
+    (a < b). Exact — kept as the SQL-checkable oracle and for small
+    corpora; ``max_rows`` guards the driver-side materialization this
+    inherently requires (the LSH-bucketed variant below is the scale path
+    and never materializes the corpus)."""
     import ray
 
     full = ds.select_columns([id_col, emb_col]).to_pandas()
+    if len(full) > max_rows:
+        raise ValueError(
+            f"embedding_near_dup_brute materializes the corpus driver-side "
+            f"({len(full)} rows > max_rows={max_rows}); use embedding_near_dup_lsh "
+            f"at this scale or raise max_rows explicitly")
     ids_all = full[id_col].to_numpy()
     m = np.stack(full[emb_col].to_numpy()).astype(np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -379,10 +408,10 @@ def embedding_near_dup_lsh(ds, id_col: str = "vec_id", emb_col: str = "embedding
 
 
 def dup_groups_from_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
-    """Union-find over the (small, verified) pair list -> (id, group_id)
-    with group_id = min member id. Driver-side: candidate pair sets are
-    orders of magnitude smaller than the corpus; at larger pair scales use
-    iterated min-label propagation (groupby) instead."""
+    """Union-find over a SMALL verified pair list -> (id, group_id) with
+    group_id = min member id (native ordering). Driver-side fast path;
+    ``dup_groups_distributed`` below is the at-scale equivalent (tested
+    identical)."""
     parent: dict = {}
 
     def find(x):
@@ -396,7 +425,69 @@ def dup_groups_from_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
         if ra != rb:
-            ra, rb = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            ra, rb = (ra, rb) if ra <= rb else (rb, ra)
             parent[rb] = ra
     rows = [(x, find(x)) for x in parent]
     return pd.DataFrame(rows, columns=["id", "group_id"])
+
+
+def dup_groups_distributed(pairs, max_rounds: int = 25):
+    """Distributed connected components over a verified near-dup pair
+    list: iterated MIN-LABEL PROPAGATION. Every node starts labeled with
+    its own id; each round every node takes the min of its own label and
+    its neighbors' labels (one equi-join to ship labels onto edges + one
+    groupby-min to combine) until a fixpoint — converges in O(component
+    diameter) rounds, and dup components are shallow (diameter ~ 2-4).
+    Nothing is ever materialized per-component on the driver; the per-round
+    labels table is one row per node that appears in a pair.
+
+    pairs: Dataset or DataFrame with columns a, b. -> Dataset(id, group_id)
+    (same groups as dup_groups_from_pairs, property-tested)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from engine.ops.join import equi_join
+
+    if isinstance(pairs, pd.DataFrame):
+        pairs = rd.from_pandas(pairs[["a", "b"]])
+
+    def undirected(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+        return pa.table({"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])})
+
+    edges = pairs.select_columns(["a", "b"]).map_batches(
+        undirected, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    from engine.ops.agg import distinct_keys
+
+    labels = distinct_keys(edges, "src").rename_columns({"src": "id"}).map_batches(
+        lambda t: pa.table({"id": t["id"], "label": t["id"]}),
+        batch_format="pyarrow").materialize()
+
+    from engine.ops.util import drop_empty_blocks
+
+    for _round in range(max_rounds):
+        # neighbor labels: ship each node's current label across its edges
+        msg = (equi_join(edges, labels, on="src", right_on="id")
+               .select_columns(["dst", "label"])
+               .rename_columns({"dst": "id"}))
+        new_labels = drop_empty_blocks(
+            labels.union(msg)
+            .groupby("id")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize())
+        def count_changed(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = pc.sum(pc.not_equal(t["new_label"], t["label"])).as_py() or 0
+            return pa.table({"n": pa.array([int(n)], type=pa.int64())})
+
+        changed = (equi_join(new_labels.rename_columns({"label": "new_label"}), labels,
+                             on="id", right_on="id")
+                   .map_batches(count_changed, batch_format="pyarrow")
+                   .sum("n"))
+        labels = new_labels
+        if not changed:
+            break
+    return labels.rename_columns({"label": "group_id"})

@@ -4,10 +4,13 @@ A new session starts when ts - prev_ts > gap within an entity. Vectorized
 as diff + cumsum of gap-breaks over the (entity, ts)-sorted partition —
 exactly the SQL
   SUM(CASE WHEN ts - LAG(ts) OVER w > <gap> THEN 1 ELSE 0 END) OVER w
-cumsum formulation, so DuckDB is a direct oracle.
+cumsum formulation, so DuckDB is a direct oracle. Arrow-native via
+engine.ops.wkernel (no pandas round-trip; sessions are CONTIGUOUS runs
+of the sorted partition, so sessionize aggregates by run-reduction, not
+a hash groupby).
 
 Two outputs:
-  - label(ds): per-event `session_idx` (0-based per entity)
+  - label_sessions(ds): per-event `session_idx` (0-based per entity)
   - sessionize(ds): per-session rows (entity, session_idx, start_ts,
     end_ts, n_events, + optional value aggregates)
 """
@@ -15,49 +18,55 @@ Two outputs:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
-from engine.ops.window import _partitioned, _sorted_group
-
-
-def _label_frame(df: pd.DataFrame, entity: str, ts: str, gap_us: int, tie: str | None) -> pd.DataFrame:
-    df = _sorted_group(df, entity, ts, tie)
-    tsv = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
-    ent = df[entity].to_numpy()
-    n = len(df)
-    if n == 0:
-        df["session_idx"] = np.array([], dtype=np.int64)
-        return df
-    new_entity = np.empty(n, dtype=bool)
-    new_entity[0] = True
-    new_entity[1:] = ent[1:] != ent[:-1]
-    gap_break = np.empty(n, dtype=bool)
-    gap_break[0] = False
-    gap_break[1:] = (tsv[1:] - tsv[:-1]) > gap_us
-    breaks = (gap_break & ~new_entity).astype(np.int64)
-    cum = np.cumsum(breaks)
-    # session_idx = cumulative breaks since entity start
-    entity_start_cum = np.maximum.accumulate(np.where(new_entity, cum, -1))
-    df["session_idx"] = cum - entity_start_cum
-    return df
+from engine.ops.window import _partitioned, _strip
+from engine.ops.wkernel import entity_sort, run_reduce, run_starts, session_labels
 
 
 def label_sessions(ds, entity: str, ts: str = "ts", gap_us: int = 24 * 3600 * 1_000_000,
                    tie_break: str | None = None, num_partitions: int | None = None):
-    return _partitioned(ds, entity, num_partitions).map_groups(
-        lambda df: _label_frame(df, entity, ts, gap_us, tie_break), batch_format="pandas"
-    )
+    def fn(t: pa.Table) -> pa.Table:
+        t = _strip(t)
+        if t.num_rows == 0:
+            return t.append_column("session_idx", pa.chunked_array([], type=pa.int64()))
+        t, _codes, tsv, change = entity_sort(t, entity, ts, tie_break)
+        return t.append_column("session_idx", pa.array(session_labels(change, tsv, gap_us)))
+
+    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")
 
 
 def sessionize(ds, entity: str, ts: str = "ts", gap_us: int = 24 * 3600 * 1_000_000,
                value_col: str | None = None, tie_break: str | None = None,
                num_partitions: int | None = None):
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = _label_frame(df, entity, ts, gap_us, tie_break)
-        aggs = {"start_ts": (ts, "min"), "end_ts": (ts, "max"), "n_events": (ts, "size")}
+    def fn(t: pa.Table) -> pa.Table:
+        t = _strip(t)
+        if t.num_rows == 0:
+            cols = {
+                entity: pa.chunked_array([], type=t.schema.field(entity).type),
+                "session_idx": pa.chunked_array([], type=pa.int64()),
+                "start_ts": pa.chunked_array([], type=t.schema.field(ts).type),
+                "end_ts": pa.chunked_array([], type=t.schema.field(ts).type),
+                "n_events": pa.chunked_array([], type=pa.int64()),
+            }
+            if value_col:
+                cols["sum_value"] = pa.chunked_array([], type=pa.float64())
+            return pa.table(cols)
+        t, codes, tsv, change = entity_sort(t, entity, ts, tie_break)
+        sess = session_labels(change, tsv, gap_us)
+        first = run_starts(codes, sess)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64) if value_col else None
+        starts, ends, counts, sums = run_reduce(first, v)
+        # sorted by ts within each session, so start/end are the run edges
+        cols = {
+            entity: t[entity].take(pa.array(starts)),
+            "session_idx": pa.array(sess[starts]),
+            "start_ts": t[ts].take(pa.array(starts)),
+            "end_ts": t[ts].take(pa.array(ends - 1)),
+            "n_events": pa.array(counts.astype(np.int64)),
+        }
         if value_col:
-            aggs["sum_value"] = (value_col, "sum")
-        out = df.groupby([entity, "session_idx"], sort=False).agg(**aggs).reset_index()
-        return out
+            cols["sum_value"] = pa.array(sums)
+        return pa.table(cols)
 
-    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pandas")
+    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")

@@ -36,3 +36,22 @@ def cast_table(t: pa.Table, schema: pa.Schema) -> pa.Table:
     if t.schema.equals(schema):
         return t
     return t.cast(schema)
+
+
+def drop_empty_blocks(ds):
+    """Rebuild a MATERIALIZED Dataset without its empty blocks.
+
+    Ray joins and hash-shuffle aggregates can emit schema-LESS empty
+    blocks (0 columns); a downstream Dataset.join dies on them ("No match
+    or multiple matches for key field ..."), and map_batches BYPASSES
+    empty blocks so they cannot be repaired in-stream. Block refs are
+    filtered by METADATA row counts — no block payload is fetched or
+    moved; the surviving refs stay in the object store.
+    """
+    import ray.data as rd
+
+    bundles = list(ds.iter_internal_ref_bundles())
+    refs = [br for b in bundles for br, meta in b.blocks if (meta.num_rows or 0) > 0]
+    if not refs:
+        return ds
+    return rd.from_arrow_refs(refs)

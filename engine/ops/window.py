@@ -1,29 +1,42 @@
-"""Partition-local window operators: lag/lead + rolling aggregates
-(SURVEY.md §2.4 W1/W2; the reimagining of reference R3's
+"""Partition-local window operators: lag/lead + rolling/expanding/tumbling
+aggregates (SURVEY.md §2.4 W1/W2; the reimagining of reference R3's
 missing-descriptor imputation as timeline operations).
 
 Pattern shared by every window op: hash-partition by entity
 (__pkey = stable_hash(entity) % P, ONE shuffle), then a single
-partition-local pass that sorts by (entity, ts, tie-break) and computes
-all requested windows vectorized (pandas/numpy in C). Entities are never
-split across partitions, so results are partition-count invariant
-(property-tested vs P=1 in tests/test_partition_invariance.py).
+partition-local Arrow-native pass (engine.ops.wkernel) that sorts by
+(entity, ts, tie-break) and computes all requested windows vectorized.
+Entities are never split across partitions, so results are
+partition-count invariant (property-tested vs P=1 in
+tests/test_partition_invariance.py). No pandas round-trip: wide payload
+columns (list<float> vectors, binary blobs) ride zero-copy through the
+one sort `take`.
 
-Rolling time windows use cumsum + np.searchsorted with peers-inclusive
-bounds [t - window, t] — exactly SQL's
-`RANGE BETWEEN <w> PRECEDING AND CURRENT ROW` (all rows sharing the
-current timestamp are in the window, regardless of sort position).
-`lead` is future-looking and therefore flagged: leakage-safe pipelines
-must not feed lead_* columns into as-of outputs (SURVEY.md §2.4 W1).
+Rolling time windows use dense-rank banded searchsorted with
+peers-inclusive bounds [t - window, t] — exactly SQL's
+`RANGE BETWEEN <w> PRECEDING AND CURRENT ROW`; min/max answer every
+row's window from one RMQ sparse table (O(n log n) build, no per-row
+loop). `lead` is future-looking and therefore flagged: leakage-safe
+pipelines must not feed lead_* columns into as-of outputs
+(SURVEY.md §2.4 W1).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from engine.ops.keys import partition_ids
+from engine.ops.wkernel import (
+    entity_sort,
+    lag_lead_arrays,
+    rolling_bounds,
+    window_sums,
+    run_reduce,
+    run_starts,
+    segments,
+    windowed_minmax,
+)
 
 _PKEY = "__pkey"
 
@@ -39,9 +52,18 @@ def _partitioned(ds, entity: str, num_partitions: int | None):
     return ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True).groupby(_PKEY)
 
 
-def _sorted_group(df: pd.DataFrame, entity: str, ts: str, tie: str | None) -> pd.DataFrame:
-    keys = [entity, ts] + ([tie] if tie else [])
-    return df.sort_values(keys, kind="stable").drop(columns=[_PKEY])
+def _strip(t: pa.Table) -> pa.Table:
+    return t.drop_columns([_PKEY]) if _PKEY in t.schema.names else t
+
+
+def _with_empty(t: pa.Table, pairs) -> pa.Table:
+    for name, typ in pairs:
+        t = t.append_column(name, pa.chunked_array([], type=typ))
+    return t
+
+
+def _f64(t: pa.Table, col: str) -> np.ndarray:
+    return t[col].to_numpy(zero_copy_only=False).astype(np.float64)
 
 
 def with_lag_lead(
@@ -58,17 +80,21 @@ def with_lag_lead(
     (ts, tie_break). lead columns are FUTURE-LOOKING."""
     cols = list(cols)
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = _sorted_group(df, entity, ts, tie_break)
-        g = df.groupby(entity, sort=False)
+    def fn(t: pa.Table) -> pa.Table:
+        t = _strip(t)
+        if t.num_rows == 0:
+            return _with_empty(t, [(f"lag{k}_{c}", pa.float64()) for c in cols for k in lags]
+                               + [(f"lead{k}_{c}", pa.float64()) for c in cols for k in leads])
+        t, _codes, _tsv, change = entity_sort(t, entity, ts, tie_break)
         for c in cols:
+            arrs = lag_lead_arrays(_f64(t, c), change, lags, leads)
             for k in lags:
-                df[f"lag{k}_{c}"] = g[c].shift(k)
+                t = t.append_column(f"lag{k}_{c}", pa.array(arrs[("lag", k)]))
             for k in leads:
-                df[f"lead{k}_{c}"] = g[c].shift(-k)
-        return df
+                t = t.append_column(f"lead{k}_{c}", pa.array(arrs[("lead", k)]))
+        return t
 
-    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pandas")
+    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")
 
 
 def rolling(
@@ -83,53 +109,43 @@ def rolling(
 ):
     """Trailing time-window aggregates per entity: window = [t - w, t],
     peers-inclusive (SQL RANGE semantics). count/sum/mean are exact via
-    cumsum+searchsorted; min/max use pandas' sliding window over the
-    same bounds."""
+    cumsum over the banded bounds; min/max via the RMQ sparse table —
+    every agg is O(n log n) per partition with no per-row Python."""
     cols = list(cols)
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = _sorted_group(df, entity, ts, tie_break)
-        tsv = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
-        ent = df[entity].to_numpy()
-        # entity block boundaries in the sorted frame
-        change = np.empty(len(df), dtype=bool)
-        if len(df):
-            change[0] = True
-            change[1:] = ent[1:] != ent[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(df))
-        out = {}
+    def _names(c):
+        return [(f"roll_{a}_{c}", pa.int64() if a == "count" else pa.float64())
+                for a in ("count", "sum", "mean", "min", "max") if a in aggs]
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = _strip(t)
+        if t.num_rows == 0:
+            return _with_empty(t, [p for c in cols for p in _names(c)])
+        t, codes, tsv, _change = entity_sort(t, entity, ts, tie_break)
+        lo, hi = rolling_bounds(codes, tsv, window_us)
+        cnt = (hi - lo).astype(np.int64)
         for c in cols:
-            v = df[c].to_numpy(dtype=np.float64)
-            needs_minmax = any(a in ("min", "max") for a in aggs)
-            cnt = np.empty(len(df)); sm = np.empty(len(df))
-            mn = np.empty(len(df)); mx = np.empty(len(df))
-            for s, e in zip(starts, ends):
-                t = tsv[s:e]
-                lo = np.searchsorted(t, t - window_us, side="left")
-                hi = np.searchsorted(t, t, side="right")  # peers-inclusive
-                cs = np.concatenate([[0.0], np.cumsum(v[s:e])])
-                cnt[s:e] = hi - lo
-                sm[s:e] = cs[hi] - cs[lo]
-                if needs_minmax:
-                    ser = pd.Series(v[s:e])
-                    mn[s:e] = [ser.iloc[l:h].min() for l, h in zip(lo, hi)]
-                    mx[s:e] = [ser.iloc[l:h].max() for l, h in zip(lo, hi)]
+            v = _f64(t, c)
+            out = {}
             if "count" in aggs:
                 out[f"roll_count_{c}"] = cnt
-            if "sum" in aggs:
-                out[f"roll_sum_{c}"] = sm
-            if "mean" in aggs:
-                out[f"roll_mean_{c}"] = sm / np.where(cnt == 0, 1, cnt)
-            if "min" in aggs:
-                out[f"roll_min_{c}"] = mn
-            if "max" in aggs:
-                out[f"roll_max_{c}"] = mx
-        for k, arr in out.items():
-            df[k] = arr
-        return df
+            if "sum" in aggs or "mean" in aggs:
+                sm = window_sums(v, lo, hi)
+                if "sum" in aggs:
+                    out[f"roll_sum_{c}"] = sm
+                if "mean" in aggs:
+                    out[f"roll_mean_{c}"] = sm / np.where(cnt == 0, 1, cnt)
+            if "min" in aggs or "max" in aggs:
+                mn, mx = windowed_minmax(v, lo, hi)
+                if "min" in aggs:
+                    out[f"roll_min_{c}"] = mn
+                if "max" in aggs:
+                    out[f"roll_max_{c}"] = mx
+            for name, _typ in _names(c):
+                t = t.append_column(name, pa.array(out[name]))
+        return t
 
-    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pandas")
+    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")
 
 
 def expanding(
@@ -143,26 +159,46 @@ def expanding(
 ):
     """Cumulative (expanding) aggregates per entity ordered by
     (ts, tie_break) — SQL `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
-    ROW`. Same one-shuffle partition-local pattern as rolling()."""
+    ROW`. Same one-shuffle partition-local pattern as rolling(); min/max
+    reuse the RMQ table with window [entity_start, row]."""
     cols = list(cols)
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = _sorted_group(df, entity, ts, tie_break)
-        g = df.groupby(entity, sort=False)
-        for c in cols:
-            if "count" in aggs:
-                df[f"cum_count_{c}"] = g[c].cumcount() + 1
-            if "sum" in aggs:
-                df[f"cum_sum_{c}"] = g[c].cumsum()
-            if "mean" in aggs:
-                df[f"cum_mean_{c}"] = g[c].cumsum() / (g[c].cumcount() + 1)
-            if "min" in aggs:
-                df[f"cum_min_{c}"] = g[c].cummin()
-            if "max" in aggs:
-                df[f"cum_max_{c}"] = g[c].cummax()
-        return df
+    def _names(c):
+        return [(f"cum_{a}_{c}", pa.int64() if a == "count" else pa.float64())
+                for a in ("count", "sum", "mean", "min", "max") if a in aggs]
 
-    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pandas")
+    def fn(t: pa.Table) -> pa.Table:
+        t = _strip(t)
+        if t.num_rows == 0:
+            return _with_empty(t, [p for c in cols for p in _names(c)])
+        t, _codes, _tsv, change = entity_sort(t, entity, ts, tie_break)
+        n = t.num_rows
+        starts, _ends, seg_id, pos = segments(change)
+        cnt = pos + 1
+        lo = starts[seg_id]
+        hi = np.arange(n) + 1
+        for c in cols:
+            v = _f64(t, c)
+            out = {}
+            if "count" in aggs:
+                out[f"cum_count_{c}"] = cnt
+            if "sum" in aggs or "mean" in aggs:
+                sm = window_sums(v, lo, hi)
+                if "sum" in aggs:
+                    out[f"cum_sum_{c}"] = sm
+                if "mean" in aggs:
+                    out[f"cum_mean_{c}"] = sm / cnt
+            if "min" in aggs or "max" in aggs:
+                mn, mx = windowed_minmax(v, lo, hi)
+                if "min" in aggs:
+                    out[f"cum_min_{c}"] = mn
+                if "max" in aggs:
+                    out[f"cum_max_{c}"] = mx
+            for name, _typ in _names(c):
+                t = t.append_column(name, pa.array(out[name]))
+        return t
+
+    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")
 
 
 def tumbling(
@@ -176,18 +212,34 @@ def tumbling(
     """Fixed-width (tumbling) window aggregate per entity: rows bucketed
     by floor(ts / width), one output row per (entity, window_start) with
     count/sum/min/max — the batch analog of a streaming tumbling window.
-    ONE shuffle on (entity); the bucket key is computed in the same
-    partition-local pass (no second exchange on the bucket)."""
+    ONE shuffle on (entity); buckets are CONTIGUOUS runs of the
+    (entity, ts)-sorted partition, so the aggregation is run-reduction
+    (cumsum + reduceat), not a hash groupby."""
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        tsv = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+    def fn(t: pa.Table) -> pa.Table:
+        t = _strip(t)
+        if t.num_rows == 0:
+            return pa.table({
+                entity: pa.chunked_array([], type=t.schema.field(entity).type),
+                "window_start": pa.chunked_array([], type=pa.timestamp("us")),
+                "n_events": pa.chunked_array([], type=pa.int64()),
+                "sum_value": pa.chunked_array([], type=pa.float64()),
+                "min_value": pa.chunked_array([], type=pa.float64()),
+                "max_value": pa.chunked_array([], type=pa.float64()),
+            })
+        t, codes, tsv, _change = entity_sort(t, entity, ts)
         win = (tsv // width_us) * width_us
-        df = df.assign(window_start=win.astype("datetime64[us]"))
-        out = (
-            df.groupby([entity, "window_start"], sort=False)[value]
-            .agg(n_events="count", sum_value="sum", min_value="min", max_value="max")
-            .reset_index()
-        )
-        return out.drop(columns=[_PKEY], errors="ignore")
+        first = run_starts(codes, win)
+        v = _f64(t, value)
+        starts, _ends, counts, sums = run_reduce(first, v)
+        take = pa.array(starts)
+        return pa.table({
+            entity: t[entity].take(take),
+            "window_start": pa.array(win[starts], type=pa.timestamp("us")),
+            "n_events": pa.array(counts.astype(np.int64)),
+            "sum_value": pa.array(sums),
+            "min_value": pa.array(np.minimum.reduceat(v, starts)),
+            "max_value": pa.array(np.maximum.reduceat(v, starts)),
+        })
 
-    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pandas")
+    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")

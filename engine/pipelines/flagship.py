@@ -56,6 +56,9 @@ def window_pass(t, entity: str, ts: str = "ts", value: str = "value",
     """
     import pyarrow as pa
 
+    from engine.ops.wkernel import (entity_sort, lag_lead_arrays, rolling_bounds,
+                                    session_labels, window_sums)
+
     n = t.num_rows
     if n == 0:
         out = t
@@ -65,53 +68,17 @@ def window_pass(t, entity: str, ts: str = "ts", value: str = "value",
             out = out.append_column(name, pa.chunked_array([], type=typ))
         return out
 
-    ent = t[entity].to_numpy(zero_copy_only=False)
-    _, codes = np.unique(ent, return_inverse=True)
-    codes = codes.astype(np.int64)
-    tsv = t[ts].cast("int64").to_numpy(zero_copy_only=False) if pa.types.is_timestamp(
-        t.schema.field(ts).type) else t[ts].to_numpy(zero_copy_only=False)
-    tie = t[tie_break].to_numpy(zero_copy_only=False) if tie_break else np.arange(n)
-    order = np.lexsort((tie, tsv, codes))
-    t = t.take(pa.array(order))
-    codes, tsv = codes[order], tsv[order]
+    t, codes, tsv, change = entity_sort(t, entity, ts, tie_break)
     v = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
 
-    change = np.empty(n, dtype=bool)
-    change[0] = True
-    change[1:] = codes[1:] != codes[:-1]
+    shifts = lag_lead_arrays(v, change, lags=(1, 2))
+    lag1, lag2 = shifts[("lag", 1)], shifts[("lag", 2)]
 
-    # lag1/lag2 with group boundaries
-    lag1 = np.concatenate([[np.nan], v[:-1]])
-    lag1[change] = np.nan
-    lag2 = np.concatenate([[np.nan, np.nan], v[:-2]])
-    lag2[change] = np.nan
-    second = np.zeros(n, dtype=bool)
-    second[1:] = change[:-1]  # second row of each entity
-    lag2[second] = np.nan
-
-    # banded rolling: one global searchsorted for all entities. Dense
-    # timestamp ranks (window-start probes included in the rank table)
-    # bound the band factor by row count — the value-space key
-    # codes * (span + window + 2) + ts wraps int64 once
-    # entities x microsecond-span grows; ranks preserve <= so the
-    # searchsorted bounds are identical.
-    qlo_ts = tsv - window_us
-    uts, inv = np.unique(np.concatenate([tsv, qlo_ts]), return_inverse=True)
-    base = np.int64(uts.size + 1)
-    ck = codes * base + inv[:n]
-    lo = np.searchsorted(ck, codes * base + inv[n:], side="left")
-    hi = np.searchsorted(ck, ck, side="right")
-    cs = np.concatenate([[0.0], np.cumsum(v)])
+    lo, hi = rolling_bounds(codes, tsv, window_us)
     cnt = (hi - lo).astype(np.int64)
-    sm = cs[hi] - cs[lo]
+    sm = window_sums(v, lo, hi)
 
-    # gap sessions: per-entity cumsum of gap-breaks
-    brk = np.zeros(n, dtype=np.int64)
-    brk[1:] = (~change[1:]) & ((tsv[1:] - tsv[:-1]) > gap_us)
-    cum = np.cumsum(brk)
-    starts = np.flatnonzero(change)
-    seg_id = np.cumsum(change) - 1
-    sess = cum - cum[starts][seg_id]
+    sess = session_labels(change, tsv, gap_us)
 
     for name, arr in [(f"lag1_{value}", lag1), (f"lag2_{value}", lag2),
                       (f"roll_count_{value}", cnt), (f"roll_sum_{value}", sm),

@@ -107,12 +107,14 @@ def q_rolling_24h(sf_dir):
 
     ev = _read(sf_dir, "events")
     out = rolling(ev, entity="user_id", cols=["value"], window_us=24 * 3600 * 1_000_000,
-                  aggs=["count", "sum", "mean"]).to_pandas()
+                  aggs=["count", "sum", "mean", "min", "max"]).to_pandas()
     return pd.DataFrame({
         "event_id": out["event_id"],
         "roll_count_value": out["roll_count_value"].astype("int64"),
         "roll_sum_value": sql_round(out["roll_sum_value"], 6),
         "roll_mean_value": sql_round(out["roll_mean_value"], 6),
+        "roll_min_value": out["roll_min_value"],
+        "roll_max_value": out["roll_max_value"],
     })
 
 
@@ -622,7 +624,9 @@ ORACLE_SQL = {
         SELECT event_id,
                COUNT(value) OVER w AS roll_count_value,
                ROUND(SUM(value) OVER w, 6) AS roll_sum_value,
-               ROUND(AVG(value) OVER w, 6) AS roll_mean_value
+               ROUND(AVG(value) OVER w, 6) AS roll_mean_value,
+               MIN(value) OVER w AS roll_min_value,
+               MAX(value) OVER w AS roll_max_value
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)""",

@@ -86,6 +86,17 @@ def q_embedding_near_dup_lsh(sf_dir):
     return embedding_near_dup_lsh(emb, threshold=0.4)
 
 
+def q_dup_groups(sf_dir):
+    """MinHash pairs -> distributed min-label propagation (connected
+    components): the full dedup-grouping path with no driver union-find."""
+    from engine.ops.neardup import dup_groups_distributed, minhash_near_dup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_near_dup(docs, threshold=0.5)
+    out = dup_groups_distributed(pairs).to_pandas()
+    return out.sort_values("id").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ ann --
 
 def _query_vectors(sf_dir, n=5):
@@ -203,6 +214,7 @@ QUERIES_ML = {
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "dup_groups": q_dup_groups,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "images_featurize": q_images_featurize,

@@ -107,3 +107,38 @@ def test_minhash_distributed_verify_matches_broadcast(ray_session, docs_with_dup
     ka = sorted(zip(a["a"], a["b"], a["jaccard"]))
     kb = sorted(zip(b["a"], b["b"], b["jaccard"]))
     assert ka == kb
+
+
+def test_dup_groups_distributed_matches_union_find(ray_session):
+    """Min-label propagation (distributed connected components) must
+    produce exactly the groups the driver-side union-find produces —
+    including a chain (path graph) that needs several propagation
+    rounds and a star component."""
+    from engine.ops.neardup import dup_groups_distributed, dup_groups_from_pairs
+
+    rng = np.random.default_rng(5)
+    # chain 0-1-2-...-9, star 100-(101..110), random small blobs
+    pairs = [(i, i + 1) for i in range(9)]
+    pairs += [(100, 100 + i) for i in range(1, 11)]
+    base = 200
+    for _ in range(30):
+        k = int(rng.integers(2, 5))
+        ids = base + np.arange(k)
+        pairs += [(int(ids[i]), int(ids[i + 1])) for i in range(k - 1)]
+        base += k
+    df = pd.DataFrame(pairs, columns=["a", "b"]).astype(np.int64)
+    exp = dup_groups_from_pairs(df).sort_values("id").reset_index(drop=True)
+    got = (dup_groups_distributed(df).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype({"id": np.int64, "group_id": np.int64}),
+                                  exp.astype({"id": np.int64, "group_id": np.int64}))
+
+
+def test_dup_groups_distributed_string_ids(ray_session):
+    from engine.ops.neardup import dup_groups_distributed, dup_groups_from_pairs
+
+    df = pd.DataFrame({"a": ["d1", "d2", "d9"], "b": ["d2", "d3", "d8"]})
+    exp = dup_groups_from_pairs(df).sort_values("id").reset_index(drop=True)
+    got = (dup_groups_distributed(df).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
