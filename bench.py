@@ -166,13 +166,19 @@ def run_headline(num_cpus: int) -> dict:
 def run_queries(sf_dir: str) -> dict:
     import ray.data
     from engine.queries import QUERIES
+    from engine.queries_ml import QUERIES_ML
 
+    catalog = dict(QUERIES)
+    catalog.update(QUERIES_ML)
     names = ["asof_join", "lag_lead", "rolling_24h", "sessionize", "backfill_daily",
-             "q1_pricing_summary", "join_orders_customer", "dedup_events"]
+             "q1_pricing_summary", "join_orders_customer", "dedup_events",
+             # LLM-data ops (VERDICT r1 item 10): dedup + similarity at sf scale
+             "minhash_near_dup", "simhash_near_dup", "embedding_near_dup_lsh",
+             "ann_topk", "ann_topk_ivf", "lang_id", "sample_events_fast"]
     out = {}
     for name in names:
         t0 = time.time()
-        res = QUERIES[name](sf_dir)
+        res = catalog[name](sf_dir)
         if isinstance(res, ray.data.Dataset):
             res.count()  # force full execution of the lazy plan
         out[name] = round(time.time() - t0, 3)

@@ -194,3 +194,52 @@ def query_grid_table(obs: pa.Table, step_us: int = 3_600_000_000, cap: int = 64)
         {"image_id": ids, "ts": ts.astype("datetime64[us]")},
         schema=pa.schema([("image_id", pa.string()), ("ts", pa.timestamp("us"))]),
     )
+
+
+AUDIO_SCHEMA = pa.schema([
+    ("audio_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("sr", pa.int32()),
+    ("n_samples", pa.int64()),
+])
+
+
+def gen_audio_row(i: int, seed: int = 42, sr: int = 16000) -> dict:
+    """Deterministic mono PCM16 WAV clip: two sine partials + noise, with
+    per-row frequency/duration — real WAV bytes the stdlib decoder in
+    engine/ops/multimodal.py (wav_decode) round-trips exactly."""
+    from engine.ops.multimodal import wav_encode
+
+    rng = _rng(seed, 11, i)
+    n = int(rng.integers(sr // 8, sr // 3))            # 0.125–0.33 s
+    f0 = float(rng.uniform(100, 3000))
+    f1 = float(rng.uniform(100, 3000))
+    t = np.arange(n) / sr
+    sig = (0.5 * np.sin(2 * np.pi * f0 * t)
+           + 0.25 * np.sin(2 * np.pi * f1 * t)
+           + 0.05 * rng.standard_normal(n))
+    return {"audio_id": f"aud_{i:08d}", "bytes": wav_encode(sig, sr),
+            "sr": sr, "n_samples": n}
+
+
+def audio_table(lo: int, hi: int, seed: int = 42, sr: int = 16000) -> pa.Table:
+    rows = [gen_audio_row(i, seed, sr) for i in range(lo, hi)]
+    cols = {name: [r[name] for r in rows] for name in AUDIO_SCHEMA.names}
+    return pa.table(cols, schema=AUDIO_SCHEMA)
+
+
+def audio_dataset(n: int, seed: int = 42, parallelism: int = -1, sr: int = 16000):
+    """Distributed audio-clip generation: range(n) -> map_batches. Lazy."""
+    import ray.data as rd
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        if len(ids) == 0:
+            return audio_table(0, 0, seed, sr)
+        rows = [gen_audio_row(int(i), seed, sr) for i in ids]
+        cols = {name: [r[name] for r in rows] for name in AUDIO_SCHEMA.names}
+        return pa.table(cols, schema=AUDIO_SCHEMA)
+
+    return rd.range(n, override_num_blocks=parallelism if parallelism > 0 else None).map_batches(
+        gen, batch_format="pyarrow", batch_size=256
+    )

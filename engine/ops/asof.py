@@ -158,12 +158,15 @@ def asof_join_broadcast(
     include_right_ts: bool = True,
 ):
     """Zero-shuffle as-of join for a SMALL right side (dimension-table
-    case): the whole right table is put in the object store ONCE
-    (ray.put) and every left batch runs the same vectorized sort +
-    binary-search merge locally against it — no exchange at all, so the
-    left side streams at full read speed. Identical semantics (and SQL
-    oracle) to asof_join; use when the right side fits comfortably in a
-    worker heap (features/dim tables up to ~100s of MB).
+    case): the right table is SORTED AND INDEXED ONCE driver-side —
+    (entity-code x dense-timestamp-rank) composite keys, the same keying
+    as the shuffle merge — put in the object store once (ray.put), and
+    every left batch only BINARY-SEARCHES against it (three searchsorted
+    calls per batch, no concat of the right side, no per-batch re-sort).
+    No exchange at all, so the left side streams at full read speed.
+    Identical semantics (and SQL oracle) to asof_join; use when the right
+    side fits comfortably in a worker heap (features/dim tables up to
+    ~100s of MB).
 
     right: ray.data.Dataset (materialized driver-side), pandas.DataFrame
     or pyarrow.Table.
@@ -171,7 +174,7 @@ def asof_join_broadcast(
     import pandas as pd
     import ray
 
-    from engine.ops.util import norm_ts
+    from engine.ops.util import arrow_schema, norm_ts
 
     if hasattr(right, "to_pandas") and not isinstance(right, (pd.DataFrame, pa.Table)):
         right = pa.Table.from_pandas(right.to_pandas(), preserve_index=False)
@@ -179,9 +182,7 @@ def asof_join_broadcast(
         right = pa.Table.from_pandas(right, preserve_index=False)
     rschema = pa.schema([pa.field(n, norm_ts(right.schema.field(n).type))
                          for n in right.schema.names])
-    right = right.cast(rschema)
-
-    from engine.ops.util import arrow_schema
+    right = right.cast(rschema).combine_chunks()
 
     lraw = arrow_schema(left)
     lschema = pa.schema([pa.field(n, norm_ts(lraw.field(n).type)) for n in lraw.names])
@@ -193,43 +194,62 @@ def asof_join_broadcast(
         out_right_fields.append(pa.field(right_ts + suffix, rschema.field(right_ts).type))
     for c in right_cols:
         out_right_fields.append(pa.field(c + suffix, rschema.field(c).type))
-    unified = pa.schema(
-        [pa.field(n, lschema.field(n).type) for n in left_names]
-        + out_right_fields
-        + [pa.field("__rts", rschema.field(right_ts).type),
-           pa.field(_SIDE, pa.int8()), pa.field(_PKEY, pa.int32())]
-    )
     out_schema = pa.schema([pa.field(n, lschema.field(n).type) for n in left_names]
                            + out_right_fields)
-    merge = _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
-                        strict=strict, tolerance_us=tolerance_us)
 
-    # pre-tag the right side once, driver-side
-    n = right.num_rows
-    rcols = {}
-    for name in left_names:
-        rcols[name] = right[on] if name == on else _null_array(n, lschema.field(name).type)
+    # ---- one-time driver-side index build ----
+    nr = right.num_rows
+    rkeys = right[on].to_numpy(zero_copy_only=False)
+    rts = (right[right_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+           if pa.types.is_timestamp(rschema.field(right_ts).type)
+           else right[right_ts].to_numpy(zero_copy_only=False))
+    order = np.lexsort((np.arange(nr), rts, rkeys))  # stable (key, ts, input order)
+    rkeys_s, rts_s = rkeys[order], rts[order]
+    ukeys = np.unique(rkeys_s)
+    codes_s = np.searchsorted(ukeys, rkeys_s).astype(np.int64)
+    uts = np.unique(rts_s)
+    factor = np.int64(uts.size + 1)
+    composite = codes_s * factor + np.searchsorted(uts, rts_s).astype(np.int64)
+    # sorted right payload: output fields + __rts, in sorted order
+    pcols = {}
+    take = pa.array(order)
     if include_right_ts:
-        rcols[right_ts + suffix] = right[right_ts]
+        pcols[right_ts + suffix] = right[right_ts].take(take)
     for c in right_cols:
-        rcols[c + suffix] = right[c]
-    rcols["__rts"] = right[right_ts]
-    rcols[_SIDE] = pa.array(np.ones(n, np.int8))
-    rcols[_PKEY] = pa.array(np.zeros(n, np.int32))
-    tagged_right = pa.table(rcols).cast(unified)
-    ref = ray.put(tagged_right)
+        pcols[c + suffix] = right[c].take(take)
+    payload = pa.table(pcols) if pcols else None
+    ref = ray.put((ukeys, uts, composite, codes_s, rts_s, payload))
+
+    ts_is_time = pa.types.is_timestamp(lschema.field(left_ts).type)
+    side_kw = "left" if strict else "right"
 
     def fn(batch: pa.Table) -> pa.Table:
         nb = batch.num_rows
+        ukeys_, uts_, composite_, codes_s_, rts_s_, payload_ = ray.get(ref)
         cols = {name: batch[name] for name in left_names}
+        if nb == 0 or composite_.size == 0:
+            for f in out_right_fields:
+                cols[f.name] = _null_array(nb, f.type)
+            return pa.table(cols, schema=out_schema)
+        lkeys = batch[on].to_numpy(zero_copy_only=False)
+        lts = (batch[left_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               if ts_is_time else batch[left_ts].to_numpy(zero_copy_only=False))
+        code = np.searchsorted(ukeys_, lkeys)
+        safe_code = np.minimum(code, ukeys_.size - 1)
+        has_key = ukeys_[safe_code] == lkeys
+        # last right rank <= lts (strict: < lts) via the global rank table
+        r = np.searchsorted(uts_, lts, side=side_kw) - 1
+        idx = np.searchsorted(composite_, safe_code.astype(np.int64) * np.int64(uts_.size + 1)
+                              + np.maximum(r, 0), side="right") - 1
+        valid = has_key & (r >= 0) & (idx >= 0)
+        safe = np.where(valid, idx, 0)
+        valid &= codes_s_[safe] == safe_code
+        if tolerance_us is not None:
+            valid &= (lts - rts_s_[safe]) <= tolerance_us
+        take_idx = pa.array(np.where(valid, safe, 0).astype(np.int64), mask=~valid)
         for f in out_right_fields:
-            cols[f.name] = _null_array(nb, f.type)
-        cols["__rts"] = _null_array(nb, rschema.field(right_ts).type)
-        cols[_SIDE] = pa.array(np.zeros(nb, np.int8))
-        cols[_PKEY] = pa.array(np.zeros(nb, np.int32))
-        tagged_left = pa.table(cols).cast(unified)
-        group = pa.concat_tables([tagged_left, ray.get(ref)])
-        return merge(group.combine_chunks())
+            cols[f.name] = payload_[f.name].take(take_idx)
+        return pa.table(cols, schema=out_schema)
 
     return left.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -54,23 +54,50 @@ def broadcast_lookup(ds, small, on: str, cols: list[str] | None = None, how: str
     """Attach columns from a SMALL table to every row of `ds` without a
     shuffle. `small`: pandas.DataFrame | pyarrow.Table | Dataset (will be
     fully materialized — caller asserts it is small, e.g. a dimension
-    table). `ray.put` once; tasks read the shared copy zero-copy."""
+    table). The small side is key-sorted ONCE driver-side and `ray.put`;
+    each batch then only binary-searches it — Arrow in/out (no pandas
+    round-trip for wide payload columns), one-to-many keys expand via
+    repeat arithmetic. how: "left" (unmatched rows keep nulls) | "inner".
+    """
+    import numpy as np
     import ray
 
     if hasattr(small, "to_pandas") and not isinstance(small, (pd.DataFrame, pa.Table)):
-        small = small.to_pandas()  # Dataset -> DataFrame (small side only)
-    if isinstance(small, pa.Table):
-        small = small.to_pandas()
+        small = pa.Table.from_pandas(small.to_pandas(), preserve_index=False)
+    elif isinstance(small, pd.DataFrame):
+        small = pa.Table.from_pandas(small, preserve_index=False)
+    if how not in ("left", "inner"):
+        raise ValueError(f"broadcast_lookup supports left/inner, got {how}")
     right_on = right_on or on
     if cols:
-        small = small[[right_on] + [c for c in cols if c != right_on]]
-    ref = ray.put(small)
+        small = small.select([right_on] + [c for c in cols if c != right_on])
+    small = small.combine_chunks()
+    skeys = small[right_on].to_numpy(zero_copy_only=False)
+    order = np.argsort(skeys, kind="stable")
+    ref = ray.put((skeys[order], small.take(pa.array(order))))
+    pay_names = [n for n in small.schema.names if n != on]  # on==right_on: keep one copy
 
-    def lookup(df: pd.DataFrame) -> pd.DataFrame:
-        sm = ray.get(ref)
-        return df.merge(sm, how=how, left_on=on, right_on=right_on)
+    def lookup(t: pa.Table) -> pa.Table:
+        skeys_s, payload = ray.get(ref)
+        n = t.num_rows
+        lk = t[on].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(skeys_s, lk, side="left")
+        hi = np.searchsorted(skeys_s, lk, side="right")
+        counts = hi - lo
+        out_counts = np.maximum(counts, 1) if how == "left" else counts
+        total = int(out_counts.sum())
+        reps = np.repeat(np.arange(n), out_counts)
+        run_starts = np.concatenate([[0], np.cumsum(out_counts)[:-1]])
+        offs = np.arange(total) - np.repeat(run_starts, out_counts)
+        matched = counts[reps] > 0
+        midx = np.where(matched, lo[reps] + offs, 0)
+        out = t.take(pa.array(reps)) if total != n or (counts != 1).any() else t
+        take_idx = pa.array(midx.astype(np.int64), mask=~matched)
+        for name in pay_names:
+            out = out.append_column(name, payload[name].take(take_idx))
+        return out
 
-    return ds.map_batches(lookup, batch_format="pandas")
+    return ds.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def broadcast_semi_filter(ds, keys, on: str, negate: bool = False):

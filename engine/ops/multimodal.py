@@ -2,12 +2,14 @@
 decoded / feature-extracted by actor-pool map_batches stages.
 
 Image decode is REAL (engine/fixtures/codecs.py pure-NumPy raw/ppm/png).
-Audio and video decoders are STUBS (no codec libraries in this
-container): each raises NotImplementedError unless constructed with
-`fake=True`, in which case a clearly-marked deterministic fake derives
-fixed-width features from the payload bytes — the Ray-side plumbing
-(schema, batch size, actor signature, output layout) is real and tested;
-only the codec math is faked.
+Audio decode is REAL for WAV/PCM (stdlib `wave` — 8/16/32-bit int PCM,
+mono or multichannel): RMS + spectral centroid on the actual samples.
+The video demuxer remains a STUB (container demuxing needs codec
+libraries absent here): it raises NotImplementedError unless constructed
+with `fake=True`, in which case a clearly-marked deterministic fake
+stands in — the Ray-side plumbing (schema, batch size, actor signature,
+output layout) is real and tested; only the codec math is faked. The
+audio stage retains the same fake mode for payloads that are not WAV.
 
 Batch-size guidance: binary payload stages should run with SMALL
 batch_size (payload bytes x batch_size x concurrency must fit worker
@@ -17,11 +19,42 @@ heap) — callers pass cfg.featurize_batch_size-style values.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
 
 from engine.fixtures import codecs
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal mono 16-bit PCM WAV encoder (stdlib struct only)."""
+    pcm = np.round(np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                    sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float64 mono samples in [-1, 1], sample_rate).
+    Handles 8/16/32-bit integer PCM; multichannel is averaged to mono."""
+    with wave.open(io.BytesIO(payload)) as w:
+        sr, ch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        sig = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        sig = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        sig = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width: {sw}")
+    if ch > 1:
+        sig = sig.reshape(-1, ch).mean(axis=1)
+    return sig, sr
 
 IMAGE_FEATURES_SCHEMA = pa.schema([
     ("id", pa.string()),
@@ -77,31 +110,37 @@ class ImageFeatureStage:
 
 
 class AudioFeatureStage:
-    """STUB decoder: no audio codec libs in this container."""
+    """REAL WAV/PCM decoder (stdlib `wave`): RMS + spectral centroid on
+    the decoded samples. `fake=True` keeps the deterministic-fake
+    plumbing path for non-WAV payloads (no other codec libs here)."""
 
     def __init__(self, id_col: str = "id", fake: bool = False, sample_rate: int = 16000):
         self.id_col, self.fake, self.sr = id_col, fake, sample_rate
 
+    def _features(self, raw: bytes) -> tuple[int, float, float]:
+        if self.fake:
+            sig, sr, n = _fake_floats(raw, 1024, "audio"), self.sr, len(raw)
+        else:
+            sig, sr = wav_decode(raw)
+            n = sig.size
+        spec = np.abs(np.fft.rfft(sig))
+        freqs = np.fft.rfftfreq(sig.size, 1.0 / sr)
+        rms = float(np.sqrt((sig ** 2).mean())) if sig.size else 0.0
+        cent = float((spec * freqs).sum() / max(spec.sum(), 1e-12))
+        return n, rms, cent
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "audio decode requires a codec library not present in this "
-                "container; construct AudioFeatureStage(fake=True) for the "
-                "deterministic-fake plumbing path"
-            )
         payload = t["bytes"]
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
+        ids = t[self.id_col].to_pylist()
         rows = {"id": [], "n_samples": [], "rms": [], "spectral_centroid": []}
         for i in range(t.num_rows):
-            raw = payload[i].as_py()
-            sig = _fake_floats(raw, 1024, "audio")
-            spec = np.abs(np.fft.rfft(sig))
-            freqs = np.fft.rfftfreq(len(sig), 1 / self.sr)
-            rows["id"].append(t[self.id_col][i].as_py())
-            rows["n_samples"].append(len(raw))
-            rows["rms"].append(float(np.sqrt((sig**2).mean())))
-            rows["spectral_centroid"].append(float((spec * freqs).sum() / max(spec.sum(), 1e-12)))
+            n, rms, cent = self._features(payload[i].as_py())
+            rows["id"].append(ids[i])
+            rows["n_samples"].append(n)
+            rows["rms"].append(rms)
+            rows["spectral_centroid"].append(cent)
         return pa.table(rows, schema=AUDIO_FEATURES_SCHEMA)
 
 

@@ -243,9 +243,33 @@ class SimHasher:
         return int(v.astype(np.int64).item()) if hasattr(v, "astype") else int(v)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        """Batch-vectorized: crc32 per token (C call) but ALL bit-spread /
+        sign-sum / packing is one numpy pass over the whole batch — no
+        per-token Python arithmetic (parity with simhash() is tested)."""
         texts = t[self.text_col].to_pylist()
-        hs = np.array([self.simhash(x) for x in texts], dtype=np.uint64).view(np.int64)
-        return pa.table({self.id_col: t[self.id_col], "simhash": pa.array(hs)})
+        n = len(texts)
+        toks_per = [x.split() for x in texts]
+        lens = np.array([len(tk) for tk in toks_per], dtype=np.int64)
+        flat = [tok for tk in toks_per for tok in tk]
+        out = np.zeros(n, dtype=np.uint64)
+        if flat:
+            crc = zlib.crc32
+            h1 = np.fromiter((crc(s.encode("utf-8")) for s in flat),
+                             dtype=np.uint64, count=len(flat))
+            h2 = np.fromiter((crc((s + "#2").encode("utf-8")) for s in flat),
+                             dtype=np.uint64, count=len(flat))
+            h = (h1 << np.uint64(32)) | h2
+            shifts = np.arange(64, dtype=np.uint64)[None, :]
+            contrib = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1)
+            nz = lens > 0
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])[nz]
+            acc = np.add.reduceat(contrib, starts, axis=0)
+            # reduceat sums run [starts[i], starts[i+1]): consecutive
+            # nonempty-doc starts delimit exactly each doc's tokens
+            powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            out[nz] = ((acc > 0).astype(np.uint64) * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        return pa.table({self.id_col: t[self.id_col],
+                         "simhash": pa.array(out.view(np.int64))})
 
 
 def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3):

@@ -111,7 +111,11 @@ _PROFILES = {
 
 
 class LangId:
-    """N-gram-overlap heuristic language ID with confidence score."""
+    """N-gram-overlap heuristic language ID with confidence score.
+
+    Vectorized: one `pc.count_substring` kernel call per profile gram
+    (40 calls per BATCH, each C over the whole column) instead of 40
+    Python `str.count` calls per DOCUMENT."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.profiles = {
@@ -120,22 +124,24 @@ class LangId:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
-        langs, scores = [], []
-        for x in texts:
-            s = x.lower()
-            best_lang, best = "und", 0.0
-            for lang, prof in self.profiles.items():
-                sc = sum(w * s.count(g) for g, w in prof.items())
-                if sc > best:
-                    best_lang, best = lang, sc
-            norm = best / max(1, len(s) / 10)
-            langs.append(best_lang)
-            scores.append(round(min(norm, 1.0), 6))
+        col = pc.utf8_lower(t[self.text_col])
+        n = len(col)
+        lang_names = list(self.profiles)
+        scores = np.zeros((len(lang_names), n))
+        for li, lang in enumerate(lang_names):
+            for g, w in self.profiles[lang].items():
+                scores[li] += w * pc.count_substring(col, g).to_numpy(zero_copy_only=False)
+        # str.count semantics == non-overlapping substring count == pc.count_substring
+        best_i = scores.argmax(axis=0) if n else np.zeros(0, np.int64)
+        best = scores[best_i, np.arange(n)] if n else np.zeros(0)
+        langs = np.where(best > 0, np.asarray(lang_names, dtype=object)[best_i], "und")
+        lens = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = best / np.maximum(1.0, lens / 10.0)
+        out_scores = np.round(np.minimum(norm, 1.0), 6)
         return pa.table({
             self.id_col: t[self.id_col],
-            "pred_lang": pa.array(langs, type=pa.string()),
-            "lang_score": pa.array(scores, type=pa.float64()),
+            "pred_lang": pa.array(langs.tolist(), type=pa.string()),
+            "lang_score": pa.array(out_scores, type=pa.float64()),
         })
 
 

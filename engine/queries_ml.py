@@ -159,6 +159,17 @@ def q_multimodal_fake_audio(sf_dir):
     return decode_stage(ds, AudioFeatureStage, id_col="id", fake=True)
 
 
+def q_multimodal_audio(sf_dir):
+    """REAL WAV/PCM decode path: deterministic synthesized clips -> stdlib
+    wave decode -> RMS + spectral centroid (pytest oracle recomputes both
+    from the raw samples in tests/test_multimodal_audio.py)."""
+    from engine.fixtures.gen import audio_dataset
+    from engine.ops.multimodal import AudioFeatureStage, decode_stage
+
+    ds = audio_dataset(200, parallelism=4)
+    return decode_stage(ds, AudioFeatureStage, id_col="audio_id")
+
+
 # ------------------------------------------------------------- catalogs --
 
 _COS_DOT = (
@@ -221,4 +232,5 @@ QUERIES_ML = {
     "images_fv_normalized": q_images_fv_normalized,
     "images_clusters": q_images_clusters,
     "multimodal_fake_audio": q_multimodal_fake_audio,
+    "multimodal_audio": q_multimodal_audio,
 }

@@ -104,9 +104,12 @@ def test_multimodal_stubs(ray_session):
 
     rows = [{"id": f"x{i}", "bytes": bytes([i % 7] * 1000)} for i in range(20)]
     ds = rd.from_items(rows)
-    # real-stub contract: non-fake raises
-    with pytest.raises(Exception) as ei:
+    # audio decode is now REAL (stdlib WAV): non-WAV payloads fail decode
+    with pytest.raises(Exception):
         decode_stage(ds, AudioFeatureStage, id_col="id", fake=False).count()
+    # video demux remains an honest stub: non-fake raises NotImplementedError
+    with pytest.raises(Exception) as ei:
+        decode_stage(ds, VideoFrameSampleStage, id_col="id", fake=False).count()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
     audio = decode_stage(ds, AudioFeatureStage, id_col="id", fake=True).to_pandas()
     assert len(audio) == 20 and {"rms", "spectral_centroid"} <= set(audio.columns)

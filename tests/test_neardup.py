@@ -142,3 +142,17 @@ def test_dup_groups_distributed_string_ids(ray_session):
     got = (dup_groups_distributed(df).to_pandas()
            .sort_values("id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_simhash_batch_matches_scalar():
+    import pyarrow as pa
+
+    from engine.ops.neardup import SimHasher
+
+    texts = ["the quick brown fox", "", "one", "the quick brown fox jumps",
+             "a b c d e f g", "zzz " * 50]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = SimHasher()(t)["simhash"].to_pylist()
+    exp = [np.int64(np.uint64(SimHasher.simhash(x))).item() for x in texts]
+    # scalar simhash of "" iterates no tokens -> 0
+    assert got == exp
