@@ -140,13 +140,22 @@ def _verify_jaccard_distributed(ds, cands: pd.DataFrame, id_col: str, text_col: 
     import ray.data as rd
 
     from engine.ops.join import equi_join
+    from engine.ops.partitioning import _cpus
 
     sh = shingle_sets(ds, id_col, text_col, k_shingle)
     pairs = rd.from_pandas(cands)
+    # Chained joins each spawn one aggregator ACTOR per partition and the
+    # first join's actors stay alive while the second streams from it —
+    # two joins at the 2xCPU fallback is 4xCPU actors and DEADLOCKS the
+    # cluster (observed at sf0.1). Cap each at half the CPU budget and
+    # materialize between them so the first join's actors release first.
+    P = max(2, min(_cpus() // 2, 16))
     # rename between joins: Ray only suffixes COLLIDING columns
-    j = equi_join(pairs, sh, on="a", right_on=id_col).rename_columns(
-        {"shingles": "shingles_a"})
-    j = equi_join(j, sh, on="b", right_on=id_col).rename_columns(
+    j = equi_join(pairs, sh, on="a", right_on=id_col,
+                  num_partitions=P).rename_columns(
+        {"shingles": "shingles_a"}).materialize()
+    j = equi_join(j, sh, on="b", right_on=id_col,
+                  num_partitions=P).rename_columns(
         {"shingles": "shingles_b"})
 
     def _views(col):
