@@ -16,6 +16,8 @@ embarrassingly parallel and never materializes on the driver.
 from __future__ import annotations
 
 import numpy as np
+
+from engine.ops.multimodal import wav_encode
 import pyarrow as pa
 
 from engine.fixtures import codecs
@@ -207,9 +209,9 @@ AUDIO_SCHEMA = pa.schema([
 def gen_audio_row(i: int, seed: int = 42, sr: int = 16000) -> dict:
     """Deterministic mono PCM16 WAV clip: two sine partials + noise, with
     per-row frequency/duration — real WAV bytes the stdlib decoder in
-    engine/ops/multimodal.py (wav_decode) round-trips exactly."""
-    from engine.ops.multimodal import wav_encode
-
+    engine/ops/multimodal.py (wav_decode) round-trips exactly. wav_encode
+    is imported at module level: this function runs on workers via
+    pickle-by-value, where in-function engine imports fail."""
     rng = _rng(seed, 11, i)
     n = int(rng.integers(sr // 8, sr // 3))            # 0.125–0.33 s
     f0 = float(rng.uniform(100, 3000))

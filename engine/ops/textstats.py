@@ -59,25 +59,25 @@ class QualityScorer:
     0.25*(1-punct_ratio) + 0.25*stop_norm, rounded to 6."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
-        self.nonspace = re.compile(r"\s")
-        self.digits = re.compile(r"[0-9]")
-        self.punct = re.compile(r"[^\sA-Za-z0-9]")
         self.word = re.compile(r"[A-Za-z]+")
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
+        col = t[self.text_col]
+        texts = col.to_pylist()
         n = len(texts)
-        n_chars = np.empty(n, np.int64)
-        n_nonspace = np.empty(n, np.int64)
-        n_digits = np.empty(n, np.int64)
-        n_punct = np.empty(n, np.int64)
+        # counts are vectorized RE2 kernels over the whole column (each
+        # pattern matches exactly one char, so match count == char count);
+        # only the stopword pass still walks words per doc
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_space = pc.count_substring_regex(col, r"\s").to_numpy(zero_copy_only=False)
+        n_nonspace = n_chars - n_space.astype(np.int64)
+        n_digits = pc.count_substring_regex(col, r"[0-9]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_punct = pc.count_substring_regex(col, r"[^\sA-Za-z0-9]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         stop_ratio = np.empty(n, np.float64)
         for i, x in enumerate(texts):
-            n_chars[i] = len(x)
-            n_nonspace[i] = len(self.nonspace.sub("", x))
-            n_digits[i] = len(self.digits.findall(x))
-            n_punct[i] = len(self.punct.findall(x))
             words = [w.lower() for w in self.word.findall(x)]
             stop_ratio[i] = (sum(w in STOPWORDS for w in words) / len(words)) if words else 0.0
         nz = np.maximum(n_nonspace, 1)

@@ -119,11 +119,12 @@ def rolling_bounds(codes: np.ndarray, tsv: np.ndarray, window_us: int):
 
 
 def windowed_minmax(v: np.ndarray, lo: np.ndarray, hi: np.ndarray):
-    """(min, max) of v over [lo, hi) per row; empty windows -> nan."""
-    n = v.size
-    mn = np.full(n, np.nan)
-    mx = np.full(n, np.nan)
-    if n == 0:
+    """(min, max) of v over [lo, hi) per QUERY; empty windows -> nan.
+    lo/hi may be any length (not necessarily len(v))."""
+    n, nq = v.size, lo.size
+    mn = np.full(nq, np.nan)
+    mx = np.full(nq, np.nan)
+    if n == 0 or nq == 0:
         return mn, mx
     w = hi - lo
     wmax = int(w.max()) if w.size else 0
@@ -138,7 +139,7 @@ def windowed_minmax(v: np.ndarray, lo: np.ndarray, hi: np.ndarray):
         stmin.append(np.minimum(stmin[-1][:m], stmin[-1][half : half + m]))
         stmax.append(np.maximum(stmax[-1][:m], stmax[-1][half : half + m]))
     nz = w > 0
-    lev = np.zeros(n, dtype=np.int64)
+    lev = np.zeros(nq, dtype=np.int64)
     lev[nz] = np.floor(np.log2(w[nz])).astype(np.int64)
     lev = np.minimum(lev, len(stmin) - 1)
     for level in range(len(stmin)):

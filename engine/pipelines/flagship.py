@@ -21,6 +21,12 @@ import numpy as np
 import pyarrow.compute as pc
 
 from engine.ops.window import _partitioned
+# NOTE: wkernel is imported at MODULE level, not inside window_pass:
+# window_pass executes on workers via pickle-by-value, which preserves
+# import statements — an in-function `from engine...` import would raise
+# ModuleNotFoundError on workers whose sys.path lacks the repo root.
+from engine.ops.wkernel import (entity_sort, lag_lead_arrays, rolling_bounds,
+                                session_labels, window_sums)
 
 
 def image_flagship(n_images: int = 1000, parallelism: int = -1, normalize: bool = True):
@@ -55,9 +61,6 @@ def window_pass(t, entity: str, ts: str = "ts", value: str = "value",
     never cross into a neighboring entity's band).
     """
     import pyarrow as pa
-
-    from engine.ops.wkernel import (entity_sort, lag_lead_arrays, rolling_bounds,
-                                    session_labels, window_sums)
 
     n = t.num_rows
     if n == 0:

@@ -63,8 +63,13 @@ def test_runs_from_foreign_cwd():
         "'/root/repo/__ray_entry__.py')\n"
         "m = importlib.util.module_from_spec(spec)\n"
         "spec.loader.exec_module(m)\n"
-        "n = m.queries()['images_featurize']('/root/testdata/sf0.001').count()\n"
-        "assert n == 400, n\n"
+        "q = m.queries()\n"
+        "def n(r):\n"
+        "    import pandas as pd\n"
+        "    return len(r) if isinstance(r, pd.DataFrame) else r.count()\n"
+        "assert n(q['images_featurize']('/root/testdata/sf0.001')) == 400\n"
+        "assert n(q['asof_windowed']('/root/testdata/sf0.001')) > 0\n"
+        "assert n(q['multimodal_audio']('/root/testdata/sf0.001')) == 200\n"
         "print('FOREIGN_CWD_OK')\n"
     )
     env = {k: v for k, v in __import__('os').environ.items() if k != 'PYTHONPATH'}

@@ -83,3 +83,53 @@ def test_rolling_peers_inclusive(ray_session):
         .sort_values("id")
     )
     assert list(got["roll_sum_v"]) == [3.0, 3.0, 7.0]
+
+
+def test_windowed_minmax_kernel_edges():
+    """RMQ sparse-table kernel: singleton windows, full-array windows,
+    empty windows (hi == lo), and non-power-of-two sizes."""
+    from engine.ops.wkernel import windowed_minmax
+
+    v = np.array([5.0, 1.0, 4.0, 2.0, 8.0, 3.0, 7.0])
+    n = len(v)
+    # full prefix windows [0, i+1)
+    lo = np.zeros(n, dtype=np.int64)
+    hi = np.arange(1, n + 1)
+    mn, mx = windowed_minmax(v, lo, hi)
+    np.testing.assert_array_equal(mn, np.minimum.accumulate(v))
+    np.testing.assert_array_equal(mx, np.maximum.accumulate(v))
+    # singleton windows
+    mn, mx = windowed_minmax(v, np.arange(n), np.arange(1, n + 1))
+    np.testing.assert_array_equal(mn, v)
+    np.testing.assert_array_equal(mx, v)
+    # empty windows -> nan
+    mn, mx = windowed_minmax(v, np.arange(n), np.arange(n))
+    assert np.isnan(mn).all() and np.isnan(mx).all()
+    # random windows vs brute force
+    rng = np.random.default_rng(9)
+    vals = rng.standard_normal(257)
+    lo = rng.integers(0, 250, 400)
+    width = rng.integers(1, 257 - 250 + 250, 400)
+    hi = np.minimum(lo + rng.integers(1, 200, 400), 257)
+    mn, mx = windowed_minmax(vals, lo, hi)
+    for i in range(400):
+        assert mn[i] == vals[lo[i]:hi[i]].min()
+        assert mx[i] == vals[lo[i]:hi[i]].max()
+
+
+def test_rolling_single_row_entities(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "e": [f"u{i}" for i in range(20)],
+        "ts": pd.to_datetime(["2024-01-01"] * 20),
+        "v": np.arange(20, dtype=np.float64),
+        "id": range(20),
+    })
+    got = (rolling(rd.from_pandas(df), entity="e", cols=["v"],
+                   aggs=["count", "sum", "min", "max"], tie_break="id",
+                   num_partitions=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert (got["roll_count_v"] == 1).all()
+    np.testing.assert_array_equal(got["roll_min_v"], got["v"])
+    np.testing.assert_array_equal(got["roll_max_v"], got["v"])
