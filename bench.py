@@ -14,9 +14,13 @@ Prints ONE JSON line:
    "queries": {name: sec}, "sf": ..., "num_cpus": N,
    "images": n, "images_per_sec": r}
 
---scaling: reruns the headline in FRESH processes at num_cpus=8 and 32
-on the same cached input and reports throughput at both plus
-efficiency = (T8/T32)/(32/8)  (1.0 = linear).
+--scaling: reruns the headline in FRESH interleaved processes at
+num_cpus=8 and 32 (GRAFT_SCALING_CPUS to override) on the same cached
+input, GRAFT_SCALING_REPEATS times, and reports every run, per-stage
+walls, hypervisor steal% per run, medians, and raw + steal-corrected
+per-pair efficiencies ((T_lo/T_hi)/(hi/lo); 1.0 = linear). Campaign
+results and methodology: BASELINE.md round-2 section (960k-image pairs:
+0.846/0.888/0.713, median 0.846).
 """
 
 from __future__ import annotations
