@@ -498,11 +498,17 @@ def dup_groups_distributed(pairs, max_rounds: int = 25):
         lambda t: pa.table({"id": t["id"], "label": t["id"]}),
         batch_format="pyarrow").materialize()
 
+    from engine.ops.partitioning import _cpus
     from engine.ops.util import drop_empty_blocks
+
+    # each propagation round runs two joins; the 2xCPU aggregator-actor
+    # default costs ~0.3s startup per actor PER ROUND — cap it (the labels
+    # table is one row per paired node, far smaller than the corpus)
+    jp = max(2, min(_cpus() // 2, 16))
 
     for _round in range(max_rounds):
         # neighbor labels: ship each node's current label across its edges
-        msg = (equi_join(edges, labels, on="src", right_on="id")
+        msg = (equi_join(edges, labels, on="src", right_on="id", num_partitions=jp)
                .select_columns(["dst", "label"])
                .rename_columns({"dst": "id"}))
         new_labels = drop_empty_blocks(
@@ -517,7 +523,7 @@ def dup_groups_distributed(pairs, max_rounds: int = 25):
             return pa.table({"n": pa.array([int(n)], type=pa.int64())})
 
         changed = (equi_join(new_labels.rename_columns({"label": "new_label"}), labels,
-                             on="id", right_on="id")
+                             on="id", right_on="id", num_partitions=jp)
                    .map_batches(count_changed, batch_format="pyarrow")
                    .sum("n"))
         labels = new_labels
