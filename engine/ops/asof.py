@@ -225,6 +225,8 @@ def asof_join_broadcast(
 
     def fn(batch: pa.Table) -> pa.Table:
         nb = batch.num_rows
+        if batch.schema != lschema:  # e.g. ns-grained pandas-origin timestamps
+            batch = batch.select(left_names).cast(lschema)
         ukeys_, uts_, composite_, codes_s_, rts_s_, payload_ = ray.get(ref)
         cols = {name: batch[name] for name in left_names}
         if nb == 0 or composite_.size == 0:

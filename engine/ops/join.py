@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from engine.config import DEFAULT
 
@@ -75,7 +76,10 @@ def broadcast_lookup(ds, small, on: str, cols: list[str] | None = None, how: str
     skeys = small[right_on].to_numpy(zero_copy_only=False)
     order = np.argsort(skeys, kind="stable")
     ref = ray.put((skeys[order], small.take(pa.array(order))))
-    pay_names = [n for n in small.schema.names if n != on]  # on==right_on: keep one copy
+    # exclude the SMALL side's key (right_on) — a payload column that merely
+    # shares the LEFT key's name must survive (ADVICE r2); collisions with
+    # existing left columns get a "_r" suffix below.
+    pay_names = [n for n in small.schema.names if n != right_on]
 
     def lookup(t: pa.Table) -> pa.Table:
         skeys_s, payload = ray.get(ref)
@@ -93,8 +97,10 @@ def broadcast_lookup(ds, small, on: str, cols: list[str] | None = None, how: str
         midx = np.where(matched, lo[reps] + offs, 0)
         out = t.take(pa.array(reps)) if total != n or (counts != 1).any() else t
         take_idx = pa.array(midx.astype(np.int64), mask=~matched)
+        left_cols = set(t.schema.names)
         for name in pay_names:
-            out = out.append_column(name, payload[name].take(take_idx))
+            out_name = name if name not in left_cols else name + "_r"
+            out = out.append_column(out_name, payload[name].take(take_idx))
         return out
 
     return ds.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
@@ -108,12 +114,15 @@ def broadcast_semi_filter(ds, keys, on: str, negate: bool = False):
 
     if hasattr(keys, "to_pandas"):
         keys = keys.to_pandas().iloc[:, 0].to_numpy()
-    keyset = set(np.asarray(list(keys)).tolist())
-    ref = ray.put(keyset)
+    value_set = pa.array(np.unique(np.asarray(list(keys))))
+    ref = ray.put(value_set)
 
-    def flt(df: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(ref)
-        mask = df[on].isin(ks)
-        return df[~mask] if negate else df[mask]
+    def flt(t: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        col = t[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mask = pc.fill_null(pc.is_in(col, value_set=vs.cast(col.type)), False)
+        return t.filter(pc.invert(mask) if negate else mask)
 
-    return ds.map_batches(flt, batch_format="pandas")
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)

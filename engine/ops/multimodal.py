@@ -123,6 +123,8 @@ class AudioFeatureStage:
         else:
             sig, sr = wav_decode(raw)
             n = sig.size
+        if sig.size == 0:  # valid zero-frame WAV: rfft would raise
+            return n, 0.0, 0.0
         spec = np.abs(np.fft.rfft(sig))
         freqs = np.fft.rfftfreq(sig.size, 1.0 / sr)
         rms = float(np.sqrt((sig ** 2).mean())) if sig.size else 0.0

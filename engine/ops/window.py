@@ -83,8 +83,12 @@ def with_lag_lead(
     def fn(t: pa.Table) -> pa.Table:
         t = _strip(t)
         if t.num_rows == 0:
-            return _with_empty(t, [(f"lag{k}_{c}", pa.float64()) for c in cols for k in lags]
-                               + [(f"lead{k}_{c}", pa.float64()) for c in cols for k in leads])
+            # same per-col lags-then-leads nesting as the non-empty path, so
+            # every block agrees on field order (ADVICE r2)
+            return _with_empty(t, [(f"{kind}{k}_{c}", pa.float64())
+                                   for c in cols
+                                   for kind, ks in (("lag", lags), ("lead", leads))
+                                   for k in ks])
         t, _codes, _tsv, change = entity_sort(t, entity, ts, tie_break)
         for c in cols:
             arrs = lag_lead_arrays(_f64(t, c), change, lags, leads)

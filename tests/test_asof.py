@@ -119,3 +119,32 @@ def test_asof_broadcast_matches_shuffle_path(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_broadcast_ns_timestamps(ray_session):
+    """ADVICE r2 high: pandas-origin (timestamp[ns]) left batches must be
+    unit-normalized before the binary search — otherwise every left row
+    matches the entity's LAST right row, including future ones."""
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.ops.asof import asof_join, asof_join_broadcast
+
+    left = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-02 12:00", "2024-01-03 12:00", "2024-01-02 00:00"]),
+        "event_id": [10, 11, 12],
+    })
+    right = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-02 00:00", "2024-01-03 00:00", "2024-01-05 00:00"]),
+        "value": [1.0, 2.0, 9.0],
+    })
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)  # ns-grained
+    cols = ["event_id", "value_r"]
+    a = (asof_join(lds, rds, on="user_id", right_cols=["value"], num_partitions=2)
+         .select_columns(cols).to_pandas().sort_values("event_id").reset_index(drop=True))
+    b = (asof_join_broadcast(lds, rds, on="user_id", right_cols=["value"])
+         .select_columns(cols).to_pandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["value_r"].tolist() == [1.0, 2.0] + [None] or a["value_r"].fillna(-1).tolist() == [1.0, 2.0, -1.0]

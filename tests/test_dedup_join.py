@@ -102,3 +102,23 @@ def test_broadcast_lookup(ray_session, con):
         SELECT c.c_custkey, n.n_name FROM customer c
         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey ORDER BY c_custkey""").fetchdf()
     assert (got["n_name"].to_numpy() == exp["n_name"].to_numpy()).all()
+
+
+def test_broadcast_lookup_right_on_keeps_left_name_collision(ray_session):
+    """ADVICE r2: with right_on != on, a small-side payload column that
+    happens to share the LEFT key's name must survive (suffixed when it
+    collides with an existing left column)."""
+    import ray.data as rd
+
+    left = pd.DataFrame({"c_nationkey": [0, 1, 2], "c_custkey": [100, 101, 102]})
+    small = pd.DataFrame({
+        "n_nationkey": [0, 1, 2],
+        "c_nationkey": [90, 91, 92],   # shares the LEFT key's name
+        "n_name": ["A", "B", "C"],
+    })
+    got = (broadcast_lookup(rd.from_pandas(left), small, on="c_nationkey", right_on="n_nationkey")
+           .to_pandas().sort_values("c_custkey").reset_index(drop=True))
+    assert "c_nationkey_r" in got.columns
+    assert got["c_nationkey_r"].tolist() == [90, 91, 92]
+    assert got["n_name"].tolist() == ["A", "B", "C"]
+    assert got["c_nationkey"].tolist() == [0, 1, 2]

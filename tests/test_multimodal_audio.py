@@ -71,3 +71,20 @@ def test_non_wav_payload_raises():
     t = pa.table({"id": ["x"], "bytes": [b"not a wav"]})
     with pytest.raises(Exception):
         stage(t)
+
+
+def test_zero_frame_wav_yields_zero_features():
+    """ADVICE r2: a valid zero-frame WAV must not crash the FFT."""
+    import io
+    import wave
+
+    from engine.ops.multimodal import AudioFeatureStage
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"")
+    n, rms, cent = AudioFeatureStage()._features(buf.getvalue())
+    assert (n, rms, cent) == (0, 0.0, 0.0)
