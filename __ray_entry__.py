@@ -31,6 +31,26 @@ from typing import Any
 _ROOT = os.path.dirname(os.path.abspath(__file__))
 if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
+try:  # defensive: the driver may import a COPY of this file from elsewhere
+    import engine  # noqa: F401
+except ImportError:
+    if "/root/repo" not in sys.path:
+        sys.path.insert(0, "/root/repo")
+
+
+def _trace(msg: str) -> None:
+    """Append a breadcrumb so an empty driver CORRECTNESS artifact becomes
+    diagnosable (it has been `{}` two rounds running while the in-repo
+    driver-mimic check passes 58/58 — see README 'driver artifact status').
+    Never raises; never touches stdout (the driver may parse it)."""
+    try:
+        import datetime
+
+        with open(os.path.join(_ROOT, "driver_trace.log"), "a") as f:
+            f.write(f"{datetime.datetime.now().isoformat()} pid={os.getpid()} "
+                    f"cwd={os.getcwd()} {msg}\n")
+    except Exception:
+        pass
 
 
 def _register_self_contained() -> None:
@@ -55,17 +75,41 @@ def _register_self_contained() -> None:
 
 
 _register_self_contained()
+_trace(f"module imported: file={__file__} argv={sys.argv[:3]}")
 
 
 def entry() -> Any:
     """Flagship: as-of attach + fused windowed features over sf0.001
     events (engine/pipelines/flagship.py); returns a ray.data.Dataset."""
+    import ray
+
+    _trace(f"entry() called, ray.is_initialized={ray.is_initialized()}")
     from engine.pipelines.flagship import events_flagship
 
-    return events_flagship("/root/testdata/sf0.001")
+    out = events_flagship("/root/testdata/sf0.001")
+    _trace("entry() returning Dataset")
+    return out
+
+
+def _traced(name: str, fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    def wrapped(sf_dir: str) -> Any:
+        import time
+
+        _trace(f"query {name} start sf_dir={sf_dir}")
+        t0 = time.time()
+        try:
+            res = fn(sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            _trace(f"query {name} FAILED {time.time()-t0:.1f}s {type(exc).__name__}: {exc}")
+            raise
+        _trace(f"query {name} done {time.time()-t0:.1f}s type={type(res).__name__}")
+        return res
+
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    _trace("queries() called")
     from engine.queries import QUERIES
 
     out = dict(QUERIES)
@@ -73,12 +117,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from engine.queries_ml import QUERIES_ML
 
         out.update(QUERIES_ML)
-    except ImportError:
-        pass
-    return out
+    except ImportError as exc:
+        _trace(f"queries_ml import failed: {exc}")
+    return {name: _traced(name, fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _trace("oracle_sql() called")
     from engine.queries import ORACLE_SQL
 
     out = dict(ORACLE_SQL)
