@@ -100,14 +100,36 @@ def band_rows(sig_table: pa.Table, id_col: str, bands: int, rows: int) -> pa.Tab
     })
 
 
-def candidate_pairs(banded, id_col: str):
-    """groupby LSH bucket -> local pairs. -> Dataset(a, b) with a < b."""
+DEFAULT_MAX_BUCKET = 1024
+
+
+def _bucket_pair_indices(n: int, max_bucket: int):
+    """Pair (i, j) indices for one LSH bucket of n members, i < j.
+
+    Degenerate-bucket guard (the 100-TB scale killer: one boilerplate
+    bucket of 10^5 docs would emit 5x10^9 pairs): above ``max_bucket``
+    members, emit a STAR on the min member (n-1 pairs) instead of all
+    pairs. Connectivity — the property dup-grouping consumes — is
+    preserved whenever the star edges verify (exactly the degenerate
+    near-identical case); recall of non-anchor pairs inside oversized
+    buckets is traded away, documented here and tested with a planted
+    degenerate bucket."""
+    if n <= max_bucket:
+        return np.triu_indices(n, 1)
+    ii = np.zeros(n - 1, dtype=np.int64)
+    jj = np.arange(1, n, dtype=np.int64)
+    return ii, jj
+
+
+def candidate_pairs(banded, id_col: str, max_bucket: int = DEFAULT_MAX_BUCKET):
+    """groupby LSH bucket -> local pairs. -> Dataset(a, b) with a < b.
+    Oversized buckets emit star pairs (see _bucket_pair_indices)."""
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(df[id_col].to_numpy())
         if len(ids) < 2:
             return pd.DataFrame({"a": pd.Series([], dtype=ids.dtype), "b": pd.Series([], dtype=ids.dtype)})
-        ii, jj = np.triu_indices(len(ids), 1)
+        ii, jj = _bucket_pair_indices(len(ids), max_bucket)
         return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
     from engine.ops.dedup import exact_dedup
@@ -132,18 +154,54 @@ def shingle_sets(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3)
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _verify_jaccard_distributed(ds, cands: pd.DataFrame, id_col: str, text_col: str,
-                                k_shingle: int) -> np.ndarray:
-    """Scale path: re-join shingle sets onto the pair list by doc id (two
-    equi-joins) instead of broadcasting a doc->shingles map. Exact same
-    Jaccard values as the broadcast path (tested)."""
-    import ray.data as rd
+def _binary_views(col):
+    """Binary column -> (element offsets, one uint64 view of the whole
+    data buffer): zero-copy slicing instead of as_py + frombuffer object
+    churn per row."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = arr.cast(pa.large_binary())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1,
+                         offset=8 * arr.offset)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8, count=int(offs[-1]))
+    return offs // 8, data.view(np.uint64)
 
+
+def segmented_jaccard(oa: np.ndarray, da: np.ndarray, ob: np.ndarray, db: np.ndarray) -> np.ndarray:
+    """Jaccard of n segment pairs in ONE vectorized pass (no per-pair
+    Python loop): da/db are concatenations of sorted-unique uint64 sets,
+    oa/ob their element offsets (len n+1). union_i = number of distinct
+    values in the merged pair — counted by one lexsort over (pair_id,
+    value) and a run-boundary reduceat; inter_i by inclusion-exclusion.
+    Bit-identical to the per-pair searchsorted loop (tested)."""
+    nx, ny = np.diff(oa), np.diff(ob)
+    n = nx.size
+    if n == 0:
+        return np.empty(0)
+    pid = np.concatenate([np.repeat(np.arange(n), nx), np.repeat(np.arange(n), ny)])
+    val = np.concatenate([da, db])
+    order = np.lexsort((val, pid))
+    pid_s, val_s = pid[order], val[order]
+    new_run = np.empty(val_s.size, dtype=bool)
+    new_run[0] = True
+    np.not_equal(val_s[1:], val_s[:-1], out=new_run[1:])
+    new_run[1:] |= pid_s[1:] != pid_s[:-1]
+    starts = np.searchsorted(pid_s, np.arange(n))
+    union = np.add.reduceat(new_run, starts).astype(np.int64)
+    inter = nx + ny - union
+    return inter / union
+
+
+def _verify_jaccard_distributed(ds, cands, id_col: str, text_col: str,
+                                k_shingle: int):
+    """Scale path: re-join shingle sets onto the pair list by doc id (two
+    equi-joins) instead of broadcasting a doc->shingles map; cands is a
+    Dataset(a, b) and the verified pairs STAY a Dataset end-to-end (no
+    driver-side pair-list materialization). Exact same Jaccard values as
+    the broadcast path (tested)."""
     from engine.ops.join import equi_join
     from engine.ops.partitioning import _cpus
 
     sh = shingle_sets(ds, id_col, text_col, k_shingle)
-    pairs = rd.from_pandas(cands)
     # Chained joins each spawn one aggregator ACTOR per partition and the
     # first join's actors stay alive while the second streams from it —
     # two joins at the 2xCPU fallback is 4xCPU actors and DEADLOCKS the
@@ -151,57 +209,39 @@ def _verify_jaccard_distributed(ds, cands: pd.DataFrame, id_col: str, text_col: 
     # materialize between them so the first join's actors release first.
     P = max(2, min(_cpus() // 2, 16))
     # rename between joins: Ray only suffixes COLLIDING columns
-    j = equi_join(pairs, sh, on="a", right_on=id_col,
+    j = equi_join(cands, sh, on="a", right_on=id_col,
                   num_partitions=P).rename_columns(
         {"shingles": "shingles_a"}).materialize()
     j = equi_join(j, sh, on="b", right_on=id_col,
                   num_partitions=P).rename_columns(
         {"shingles": "shingles_b"})
 
-    def _views(col):
-        """Binary column -> (element offsets, one uint64 view of the whole
-        data buffer): per-pair work then slices views instead of paying
-        as_py + frombuffer object churn per row."""
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        arr = arr.cast(pa.large_binary())
-        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1,
-                             offset=8 * arr.offset)
-        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8, count=int(offs[-1]))
-        return offs // 8, data.view(np.uint64)
-
     def jac(t: pa.Table) -> pa.Table:
-        out = np.empty(t.num_rows)
-        oa, da = _views(t["shingles_a"])
-        ob, db = _views(t["shingles_b"])
-        for i in range(t.num_rows):
-            x = da[oa[i] : oa[i + 1]]
-            y = db[ob[i] : ob[i + 1]]
-            # both sorted unique (shingle_hashes applies np.unique):
-            # intersection size via one searchsorted, union by inclusion-
-            # exclusion — no union1d sort per pair
-            pos = np.searchsorted(x, y)
-            valid = pos < x.size
-            inter = int(np.count_nonzero(x[pos[valid]] == y[valid]))
-            out[i] = inter / (x.size + y.size - inter)
+        oa, da = _binary_views(t["shingles_a"])
+        ob, db = _binary_views(t["shingles_b"])
+        out = segmented_jaccard(oa, da, ob, db)
         return pa.table({"a": t["a"], "b": t["b"], "jaccard": pa.array(np.round(out, 6))})
 
-    res = j.map_batches(jac, batch_format="pyarrow").to_pandas()
-    m = cands.merge(res, on=["a", "b"], how="left")
-    return m["jaccard"].to_numpy()
+    return j.map_batches(jac, batch_format="pyarrow")
 
 
 def minhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
                      num_perm: int = 64, bands: int = 16, k_shingle: int = 3,
-                     threshold: float = 0.7, seed: int = 42, verify: str = "distributed"):
-    """End-to-end MinHash-LSH near-dup: -> DataFrame(a, b, jaccard) of
-    verified pairs (exact n-gram-shingle Jaccard >= threshold).
+                     threshold: float = 0.7, seed: int = 42, verify: str = "distributed",
+                     max_bucket: int = DEFAULT_MAX_BUCKET):
+    """End-to-end MinHash-LSH near-dup: -> Dataset(a, b, jaccard) of
+    verified pairs (exact n-gram-shingle Jaccard >= threshold). The pair
+    list stays a Dataset end-to-end — nothing corpus- or pair-sized ever
+    lands on the driver heap; callers `.to_pandas()` at the edge when the
+    result is known small.
 
     verify="distributed" (default): shingle sets are re-joined onto the
-    pair list by doc id (two hash joins) — the 100 TB path; no driver-side
-    corpus materialization anywhere.
-    verify="broadcast": the doc->shingles map is built driver-side —
-    only for corpora whose shingle sets fit one heap (kept as the
-    test oracle for the distributed path)."""
+    pair list by doc id (two hash joins) — the 100 TB path.
+    verify="broadcast": the doc->shingles map is built driver-side and
+    broadcast via ray.put — only for corpora whose shingle sets fit one
+    heap (kept as the test oracle for the distributed path)."""
+    import pyarrow.compute as pc
+
     rows = num_perm // bands
     sigs = ds.map_batches(
         MinHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
@@ -209,22 +249,30 @@ def minhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow", concurrency=(1, 4),
     )
     banded = sigs.map_batches(lambda t: band_rows(t, id_col, bands, rows), batch_format="pyarrow")
-    cands = candidate_pairs(banded, id_col).to_pandas()
-    if not len(cands):
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    cands = candidate_pairs(banded, id_col, max_bucket=max_bucket)
     if verify == "distributed":
-        jac = _verify_jaccard_distributed(ds, cands, id_col, text_col, k_shingle)
+        verified = _verify_jaccard_distributed(ds, cands, id_col, text_col, k_shingle)
     else:
+        import ray
+
         docs = ds.select_columns([id_col, text_col]).to_pandas()
-        sh = {i: shingle_hashes(x, k_shingle)
-              for i, x in zip(docs[id_col], docs[text_col])}
-        jac = np.array([
-            len(np.intersect1d(sh[a], sh[b], assume_unique=True))
-            / len(np.union1d(sh[a], sh[b]))
-            for a, b in zip(cands["a"], cands["b"])
-        ])
-    out = cands.assign(jaccard=np.round(jac, 6))
-    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+        sh_ref = ray.put({i: shingle_hashes(x, k_shingle)
+                          for i, x in zip(docs[id_col], docs[text_col])})
+
+        def jac(t: pa.Table) -> pa.Table:
+            sh = ray.get(sh_ref)
+            a_ids, b_ids = t["a"].to_pylist(), t["b"].to_pylist()
+            out = np.array([
+                len(np.intersect1d(sh[a], sh[b], assume_unique=True))
+                / len(np.union1d(sh[a], sh[b]))
+                for a, b in zip(a_ids, b_ids)
+            ]) if a_ids else np.empty(0)
+            return pa.table({"a": t["a"], "b": t["b"], "jaccard": pa.array(np.round(out, 6))})
+
+        verified = cands.map_batches(jac, batch_format="pyarrow")
+    return verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --------------------------------------------------------------- simhash --
@@ -281,9 +329,12 @@ class SimHasher:
                          "simhash": pa.array(out.view(np.int64))})
 
 
-def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3):
+def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3,
+                     max_bucket: int = DEFAULT_MAX_BUCKET):
     """SimHash near-dup: 4 x 16-bit band buckets (pigeonhole: any pair
-    with Hamming <= 3 shares at least one exact band) -> verify Hamming."""
+    with Hamming <= 3 shares at least one exact band) -> verify Hamming.
+    Buckets above ``max_bucket`` verify a STAR on the min member instead
+    of the full O(B^2) Hamming matrix (see _bucket_pair_indices)."""
     from engine.ops.dedup import exact_dedup
     from engine.ops.phash import hamming
 
@@ -313,6 +364,11 @@ def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_ham
             return pd.DataFrame({"a": pd.Series([], dtype=ids.dtype),
                                  "b": pd.Series([], dtype=ids.dtype),
                                  "hamming": pd.Series([], dtype=np.int32)})
+        if len(ids) > max_bucket:  # degenerate bucket: anchor star, O(B)
+            d = hamming(hs[:1], hs)[0]
+            jj = np.nonzero(d[1:] <= max_hamming)[0] + 1
+            return pd.DataFrame({"a": np.repeat(ids[0], jj.size), "b": ids[jj],
+                                 "hamming": d[jj].astype(np.int32)})
         d = hamming(hs, hs)
         ii, jj = np.nonzero(np.triu(d <= max_hamming, 1))
         return pd.DataFrame({"a": ids[ii], "b": ids[jj], "hamming": d[ii, jj].astype(np.int32)})
@@ -379,7 +435,7 @@ def embedding_near_dup_brute(ds, id_col: str = "vec_id", emb_col: str = "embeddi
 
 def embedding_near_dup_lsh(ds, id_col: str = "vec_id", emb_col: str = "embedding",
                            threshold: float = 0.4, n_planes: int = 12, n_tables: int = 6,
-                           seed: int = 42):
+                           seed: int = 42, max_bucket: int = DEFAULT_MAX_BUCKET):
     """Scale path: sign-LSH (random hyperplanes). Each of n_tables hash
     tables buckets vectors by the sign pattern of n_planes projections;
     near-identical vectors collide in >=1 table w.h.p. ONE groupby per
@@ -432,6 +488,11 @@ def embedding_near_dup_lsh(ds, id_col: str = "vec_id", emb_col: str = "embedding
                                  "b": pd.Series([], dtype=ids.dtype),
                                  "cosine": pd.Series([], dtype=np.float64)})
         m = np.stack(sub["nvec"].to_numpy())
+        if len(ids) > max_bucket:  # degenerate bucket: anchor star, O(B·dim)
+            cos = m[1:] @ m[0]
+            jj = np.nonzero(cos >= threshold)[0] + 1
+            return pd.DataFrame({"a": np.repeat(ids[0], jj.size), "b": ids[jj],
+                                 "cosine": np.round(cos[jj - 1], 5)})
         cos = m @ m.T
         ii, jj = np.nonzero(np.triu(cos >= threshold, 1))
         return pd.DataFrame({"a": ids[ii], "b": ids[jj], "cosine": np.round(cos[ii, jj], 5)})

@@ -72,9 +72,15 @@ def q_simhash_near_dup(sf_dir):
 
 
 def q_embedding_near_dup(sf_dir):
-    from engine.ops.neardup import embedding_near_dup_brute
+    """Size-switched route: exact O(n·N) brute below the switch (keeps the
+    SQL-exact oracle at sf0.01), sign-LSH above it (the scale path — the
+    rows-only q_embedding_near_dup_lsh entry keeps its own oracle)."""
+    from engine.ops.neardup import embedding_near_dup_brute, embedding_near_dup_lsh
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = emb.count()  # metadata-only on a fresh parquet read
+    if n > 50_000:
+        return embedding_near_dup_lsh(emb, threshold=0.4)
     out = embedding_near_dup_brute(emb, threshold=0.4).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 

@@ -25,7 +25,7 @@ def test_minhash_finds_planted_dups(ray_session, docs_with_dups):
 
     from engine.ops.neardup import minhash_near_dup, shingle_hashes
 
-    out = minhash_near_dup(rd.from_pandas(docs_with_dups), threshold=0.5)
+    out = minhash_near_dup(rd.from_pandas(docs_with_dups), threshold=0.5).to_pandas()
     found = {(min(a, b), max(a, b)) for a, b in zip(out["a"], out["b"])}
     planted = {(i, 10_000 + k) for k, i in enumerate(docs_with_dups.head(10)["doc_id"])}
     recall = len(found & planted) / len(planted)
@@ -102,8 +102,8 @@ def test_minhash_distributed_verify_matches_broadcast(ray_session, docs_with_dup
 
     from engine.ops.neardup import minhash_near_dup
 
-    a = minhash_near_dup(rd.from_pandas(docs_with_dups), threshold=0.5, verify="broadcast")
-    b = minhash_near_dup(rd.from_pandas(docs_with_dups), threshold=0.5, verify="distributed")
+    a = minhash_near_dup(rd.from_pandas(docs_with_dups), threshold=0.5, verify="broadcast").to_pandas()
+    b = minhash_near_dup(rd.from_pandas(docs_with_dups), threshold=0.5, verify="distributed").to_pandas()
     ka = sorted(zip(a["a"], a["b"], a["jaccard"]))
     kb = sorted(zip(b["a"], b["b"], b["jaccard"]))
     assert ka == kb
@@ -156,3 +156,64 @@ def test_simhash_batch_matches_scalar():
     exp = [np.int64(np.uint64(SimHasher.simhash(x))).item() for x in texts]
     # scalar simhash of "" iterates no tokens -> 0
     assert got == exp
+
+
+def test_segmented_jaccard_matches_loop():
+    """The one-lexsort batch kernel must be bit-identical to the per-pair
+    searchsorted loop it replaced."""
+    from engine.ops.neardup import segmented_jaccard
+
+    rng = np.random.default_rng(7)
+    xs, ys = [], []
+    for _ in range(200):
+        nx, ny = int(rng.integers(1, 60)), int(rng.integers(1, 60))
+        pool = rng.integers(0, 80, size=nx + ny).astype(np.uint64)
+        xs.append(np.unique(pool[:nx]))
+        ys.append(np.unique(pool[nx:]))
+    oa = np.concatenate([[0], np.cumsum([x.size for x in xs])]).astype(np.int64)
+    ob = np.concatenate([[0], np.cumsum([y.size for y in ys])]).astype(np.int64)
+    got = segmented_jaccard(oa, np.concatenate(xs), ob, np.concatenate(ys))
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        pos = np.searchsorted(x, y)
+        valid = pos < x.size
+        inter = int(np.count_nonzero(x[pos[valid]] == y[valid]))
+        exact = inter / (x.size + y.size - inter)
+        assert got[i] == exact
+
+
+def test_minhash_degenerate_bucket_bounded(ray_session):
+    """A planted degenerate bucket (2k identical docs — web boilerplate)
+    must complete with a BOUNDED pair count (star, not O(B^2)) while
+    keeping the component connected (the property dedup-grouping needs)."""
+    import ray.data as rd
+
+    from engine.ops.neardup import dup_groups_distributed, minhash_near_dup
+
+    n = 2000
+    df = pd.DataFrame({"doc_id": np.arange(n),
+                       "text": ["exactly the same boilerplate text repeated again and again"] * n})
+    pairs = minhash_near_dup(rd.from_pandas(df), threshold=0.5, max_bucket=200)
+    pdf = pairs.to_pandas()
+    assert len(pdf) == n - 1, f"star should emit n-1 pairs, got {len(pdf)}"
+    assert (pdf["jaccard"] == 1.0).all()
+    groups = dup_groups_distributed(pairs).to_pandas()
+    assert groups["group_id"].nunique() == 1
+    assert len(groups) == n
+
+
+def test_simhash_and_emb_lsh_degenerate_bucket_bounded(ray_session):
+    import ray.data as rd
+
+    from engine.ops.neardup import embedding_near_dup_lsh, simhash_near_dup
+
+    n = 1500
+    df = pd.DataFrame({"doc_id": np.arange(n), "text": ["same words each time"] * n})
+    out = simhash_near_dup(rd.from_pandas(df), max_hamming=3, max_bucket=100).to_pandas()
+    assert len(out) == n - 1
+    assert (out["hamming"] == 0).all()
+
+    vec = np.ones(16, dtype=np.float32)
+    dfe = pd.DataFrame({"vec_id": np.arange(n), "embedding": [vec] * n})
+    out = embedding_near_dup_lsh(rd.from_pandas(dfe), threshold=0.9, max_bucket=100).to_pandas()
+    assert len(out) == n - 1
+    assert np.allclose(out["cosine"], 1.0)
