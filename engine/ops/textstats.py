@@ -59,16 +59,16 @@ class QualityScorer:
     0.25*(1-punct_ratio) + 0.25*stop_norm, rounded to 6."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
-        self.word = re.compile(r"[A-Za-z]+")
+        self.stop_set = pa.array(sorted(STOPWORDS))
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
         col = t[self.text_col]
-        texts = col.to_pylist()
-        n = len(texts)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
         # counts are vectorized RE2 kernels over the whole column (each
-        # pattern matches exactly one char, so match count == char count);
-        # only the stopword pass still walks words per doc
+        # pattern matches exactly one char, so match count == char count)
         n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
         n_space = pc.count_substring_regex(col, r"\s").to_numpy(zero_copy_only=False)
         n_nonspace = n_chars - n_space.astype(np.int64)
@@ -76,10 +76,23 @@ class QualityScorer:
             zero_copy_only=False).astype(np.int64)
         n_punct = pc.count_substring_regex(col, r"[^\sA-Za-z0-9]").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        stop_ratio = np.empty(n, np.float64)
-        for i, x in enumerate(texts):
-            words = [w.lower() for w in self.word.findall(x)]
-            stop_ratio[i] = (sum(w in STOPWORDS for w in words) / len(words)) if words else 0.0
+        # stopword ratio, fully vectorized: [A-Za-z]+ findall == the
+        # non-empty segments of lowercase text split on [^a-z]+, so flatten
+        # the split lists and segment-sum word/stopword masks by offsets
+        words = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z]+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.values  # raw child array: offsets index into it as-is
+        offs = words.offsets.to_numpy().astype(np.int64)
+        is_word = pc.greater(pc.utf8_length(flat), 0)
+        is_stop = pc.and_(pc.is_in(flat, value_set=self.stop_set), is_word)
+        cum_w = np.zeros(len(flat) + 1, np.int64)
+        cum_s = np.zeros(len(flat) + 1, np.int64)
+        np.cumsum(is_word.to_numpy(zero_copy_only=False).astype(np.int64), out=cum_w[1:])
+        np.cumsum(is_stop.to_numpy(zero_copy_only=False).astype(np.int64), out=cum_s[1:])
+        n_words = cum_w[offs[1:]] - cum_w[offs[:-1]]
+        n_stop = cum_s[offs[1:]] - cum_s[offs[:-1]]
+        stop_ratio = np.where(n_words > 0, n_stop / np.maximum(n_words, 1), 0.0)
         nz = np.maximum(n_nonspace, 1)
         len_norm = np.minimum(n_chars / 500.0, 1.0)
         score = (
