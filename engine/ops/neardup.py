@@ -23,8 +23,11 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
 
 
 def _hash_params(num_perm: int, seed: int = 42):
@@ -34,18 +37,86 @@ def _hash_params(num_perm: int, seed: int = 42):
     return a.astype(np.uint64), b.astype(np.uint64)
 
 
+def _token_hashes(col: pa.Array):
+    """Whitespace tokens of a string column -> (ntok int64[n], flat token
+    hashes uint64[F]) with zero Python-level per-token work: one RE2 split,
+    one boolean mask for the empty boundary segments, one pandas
+    ``hash_array`` C pass (SipHash, fixed key — process-stable) over the
+    flat token array."""
+    n = len(col)
+    words = pc.split_pattern_regex(col, r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    woffs = words.offsets.to_numpy().astype(np.int64)
+    flat = words.values.slice(woffs[0], woffs[-1] - woffs[0])
+    woffs = woffs - woffs[0]
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    ne = nonempty.to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.zeros(len(flat) + 1, np.int64)
+    np.cumsum(ne, out=cum[1:])
+    ntok = cum[woffs[1:]] - cum[woffs[:-1]]
+    toks = flat.filter(nonempty)
+    th = (pd.util.hash_array(toks.to_numpy(zero_copy_only=False))
+          if len(toks) else np.empty(0, np.uint64))
+    return ntok, th.astype(np.uint64, copy=False)
+
+
+def shingle_hashes_batch(col, k: int = 3):
+    """Word k-gram shingle hashes for a whole string column in one
+    vectorized pass -> (offs int64[n+1], flat uint64) where
+    ``flat[offs[i]:offs[i+1]]`` is doc i's SORTED UNIQUE shingle set
+    (always >= 1 element: docs with < k tokens emit one hash of their full
+    token sequence, so empty docs hash to the FNV offset basis).
+
+    Shingle hash = rolling FNV-style polynomial over the k token hashes —
+    replaces the round-2 per-shingle crc32 generator (64-bit, fewer
+    collisions, no per-row Python). Parity with a per-doc reference loop
+    is pytest-checked (tests/test_neardup.py)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(1, np.int64), np.empty(0, np.uint64)
+    ntok, th = _token_hashes(col)
+    tok_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(ntok, out=tok_offs[1:])
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), ntok)
+    F = th.size
+    win = F - k + 1
+    if win > 0:
+        h = np.full(win, _FNV_OFFSET, np.uint64)
+        for j in range(k):
+            h = h * _FNV_PRIME + th[j : j + win]
+        valid = doc_of[:win] == doc_of[k - 1 :]
+        sh_doc, sh_h = doc_of[:win][valid], h[valid]
+    else:
+        sh_doc, sh_h = np.empty(0, np.int64), np.empty(0, np.uint64)
+    short = np.nonzero(ntok < k)[0]
+    if short.size:
+        hs = np.full(short.size, _FNV_OFFSET, np.uint64)
+        if F > 0:
+            for j in range(k - 1):
+                sel = ntok[short] > j
+                idx = np.where(sel, tok_offs[short] + j, 0)
+                hs = np.where(sel, hs * _FNV_PRIME + th[idx], hs)
+        sh_doc = np.concatenate([sh_doc, short])
+        sh_h = np.concatenate([sh_h, hs])
+    order = np.lexsort((sh_h, sh_doc))
+    d, v = sh_doc[order], sh_h[order]
+    keep = np.empty(d.size, bool)
+    keep[0] = True
+    keep[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+    d, v = d[keep], v[keep]
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(d, minlength=n), out=offs[1:])
+    return offs, v
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingles -> crc32 set (uint64)."""
-    toks = text.split()
-    if len(toks) < k:
-        joined = " ".join(toks)
-        return np.array([zlib.crc32(joined.encode("utf-8"))], dtype=np.uint64)
-    return np.unique(
-        np.fromiter(
-            (zlib.crc32(" ".join(toks[i : i + k]).encode("utf-8")) for i in range(len(toks) - k + 1)),
-            dtype=np.uint64,
-        )
-    )
+    """Word k-gram shingles of ONE doc -> sorted unique uint64 hashes
+    (thin wrapper over the batch kernel so the two can never drift)."""
+    offs, flat = shingle_hashes_batch(pa.array([text], pa.string()), k)
+    return flat
 
 
 class MinHasher:
@@ -59,18 +130,36 @@ class MinHasher:
         self.id_col, self.text_col = id_col, text_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = shingle_hashes(text, self.k)
-        # (a*x + b) mod p, min over shingles, per permutation
-        v = (sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
-        return v.min(axis=0)
+        """One doc (reference path; the batch path in signatures_batch is
+        pytest-checked to match it exactly)."""
+        return self.signatures_batch(pa.array([text], pa.string()))[0]
+
+    def signatures_batch(self, col) -> np.ndarray:
+        """Whole string column -> (n, num_perm) uint64 signatures with no
+        per-doc Python: one batch shingle pass, then per-permutation
+        (a*x+b) mod p over the FLAT shingle array and a segment-min
+        reduceat at the doc offsets. Permutations are chunked so the
+        (chunk, F) temp stays ~tens of MB regardless of batch size."""
+        offs, flat = shingle_hashes_batch(col, self.k)
+        n = offs.size - 1
+        sigs = np.empty((n, self.num_perm), np.uint64)
+        if n == 0:
+            return sigs
+        starts = offs[:-1]
+        chunk = max(1, min(self.num_perm, (1 << 23) // max(1, flat.size)))
+        for p0 in range(0, self.num_perm, chunk):
+            a = self.a[p0 : p0 + chunk]
+            b = self.b[p0 : p0 + chunk]
+            v = (flat[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+            sigs[:, p0 : p0 + chunk] = np.minimum.reduceat(v, starts, axis=0)
+        return sigs
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
-        sigs = np.stack([self.signature(x) for x in texts]) if texts else np.empty((0, self.num_perm), np.uint64)
+        sigs = self.signatures_batch(t[self.text_col])
         return pa.table({
             self.id_col: t[self.id_col],
             "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(sigs.reshape(-1).astype(np.int64)), self.num_perm
+                pa.array(sigs.reshape(-1).view(np.int64)), self.num_perm
             ),
         })
 
@@ -144,12 +233,14 @@ def shingle_sets(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3)
     list-typed payload columns)."""
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        return pa.table({
-            id_col: t[id_col],
-            "shingles": pa.array([shingle_hashes(x, k).tobytes() for x in texts],
-                                 type=pa.binary()),
-        })
+        offs, flat = shingle_hashes_batch(t[text_col], k)
+        # build the large_binary column straight from the kernel output:
+        # byte offsets = 8 * element offsets, data = the flat uint64 buffer
+        arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), offs.size - 1,
+            [None, pa.py_buffer((offs * 8).tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        return pa.table({id_col: t[id_col], "shingles": arr.cast(pa.binary())})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 

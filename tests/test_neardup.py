@@ -217,3 +217,57 @@ def test_simhash_and_emb_lsh_degenerate_bucket_bounded(ray_session):
     out = embedding_near_dup_lsh(rd.from_pandas(dfe), threshold=0.9, max_bucket=100).to_pandas()
     assert len(out) == n - 1
     assert np.allclose(out["cosine"], 1.0)
+
+
+def _ref_shingles(text: str, k: int = 3) -> np.ndarray:
+    """Per-doc reference loop for the batch kernel: same token hash
+    (pandas SipHash) and rolling FNV polynomial, written row-at-a-time."""
+    import re
+
+    FNV_OFFSET, FNV_PRIME = np.uint64(14695981039346656037), np.uint64(1099511628211)
+    toks = [t for t in re.split(r"\s+", text) if t]
+    th = (pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+          if toks else np.empty(0, np.uint64))
+    out = []
+    if len(toks) >= k:
+        for i in range(len(toks) - k + 1):
+            h = FNV_OFFSET
+            for j in range(k):
+                h = h * FNV_PRIME + th[i + j]
+            out.append(h)
+    else:
+        h = FNV_OFFSET
+        for j in range(len(toks)):
+            h = h * FNV_PRIME + th[j]
+        out.append(h)
+    return np.unique(np.array(out, dtype=np.uint64))
+
+
+def test_shingle_batch_matches_per_doc_loop(docs_with_dups):
+    import pyarrow as pa
+
+    from engine.ops.neardup import shingle_hashes_batch
+
+    texts = list(docs_with_dups["text"]) + ["", "one", "two words", "a  b\t c\nd", "  "]
+    offs, flat = shingle_hashes_batch(pa.array(texts, pa.string()), 3)
+    assert offs.size == len(texts) + 1 and offs[-1] == flat.size
+    for i, txt in enumerate(texts):
+        got = flat[offs[i]:offs[i + 1]]
+        ref = _ref_shingles(txt, 3)
+        np.testing.assert_array_equal(got, ref, err_msg=f"doc {i!r}")
+        assert got.size >= 1  # even empty docs emit the FNV basis
+
+
+def test_minhash_batch_matches_per_doc(docs_with_dups):
+    import pyarrow as pa
+
+    from engine.ops.neardup import MinHasher, shingle_hashes
+
+    mh = MinHasher(num_perm=32)
+    texts = list(docs_with_dups["text"].head(20)) + ["", "tiny doc"]
+    sigs = mh.signatures_batch(pa.array(texts, pa.string()))
+    M = np.uint64((1 << 61) - 1)
+    for i, txt in enumerate(texts):
+        sh = shingle_hashes(txt, 3)
+        ref = ((sh[:, None] * mh.a[None, :] + mh.b[None, :]) % M).min(axis=0)
+        np.testing.assert_array_equal(sigs[i], ref)
