@@ -3,8 +3,8 @@ embedding-cosine — the dedup toolbox a training-data pipeline needs.
 
 Scale shape (the part that matters at 10^12 docs):
   signatures  : stateful actor pool (hash params built once per worker)
-  banding     : map_batches explode -> (band_id, band_hash, doc_id) rows
-  candidates  : ONE groupby((band_id, band_hash)) shuffle; each bucket
+  banding     : map_batches explode -> (bucket, doc_id) rows
+  candidates  : ONE groupby(bucket) shuffle; each bucket
                 emits its pairs locally (buckets are tiny by construction)
   verification: exact Jaccard / Hamming / cosine on candidate pairs only
   grouping    : min-label propagation over pairs (bounded rounds), or
@@ -165,8 +165,11 @@ class MinHasher:
 
 
 def band_rows(sig_table: pa.Table, id_col: str, bands: int, rows: int) -> pa.Table:
-    """Explode signatures into (band_id, band_hash, id) rows for the LSH
-    bucket groupby."""
+    """Explode signatures into (bucket, id) rows for the LSH bucket
+    groupby. ``bucket`` is ONE int64 — the band index is mixed into the
+    FNV seed so different bands can never collide into the same bucket
+    key, and the downstream groupby sorts a single int column instead of
+    a (int32, int64) composite."""
     sig = sig_table["sig"]
     if isinstance(sig, pa.ChunkedArray):
         sig = sig.combine_chunks()
@@ -178,13 +181,14 @@ def band_rows(sig_table: pa.Table, id_col: str, bands: int, rows: int) -> pa.Tab
     bh = np.empty((n, bands), dtype=np.uint64)
     for bidx in range(bands):
         seg = m[:, bidx * rows : (bidx + 1) * rows]
-        h = np.full(n, 1469598103934665603, dtype=np.uint64)  # FNV-1a over the band
+        # FNV-1a over (band index, band rows)
+        h = np.full(n, (1469598103934665603 ^ bidx) * 1099511628211 & 0xFFFFFFFFFFFFFFFF,
+                    dtype=np.uint64)
         for r in range(rows):
             h = (h ^ seg[:, r]) * np.uint64(1099511628211)
         bh[:, bidx] = h
     return pa.table({
-        "band_id": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
-        "band_hash": pa.array(bh.T.reshape(-1).view(np.int64)),
+        "bucket": pa.array(bh.T.reshape(-1).view(np.int64)),
         id_col: pa.array(np.tile(ids, bands)),
     })
 
@@ -210,21 +214,86 @@ def _bucket_pair_indices(n: int, max_bucket: int):
     return ii, jj
 
 
+def _run_pair_indices(starts: np.ndarray, sizes: np.ndarray, max_bucket: int):
+    """GLOBAL pair indices for MANY sorted bucket runs at once (the
+    vectorized heart of candidate generation). For each run r of size m_r
+    starting at starts[r]: all triu pairs when m_r <= max_bucket, else a
+    star on the run's first (= min-id) member — same semantics as
+    _bucket_pair_indices, but batched by DISTINCT SIZE so the work is one
+    broadcast per size class instead of one Python call per bucket
+    (map_groups per bucket was 800k UDF calls at sf0.1 — the dominant
+    cost of the whole minhash pipeline)."""
+    multi = sizes >= 2
+    starts, sizes = starts[multi], sizes[multi]
+    out_i, out_j = [], []
+    normal = sizes <= max_bucket
+    ns, nm = starts[normal], sizes[normal]
+    for s in np.unique(nm):
+        st = ns[nm == s]                      # (G,) starts of size-s runs
+        li, lj = np.triu_indices(int(s), 1)   # (p,) local pairs
+        out_i.append((st[:, None] + li[None, :]).ravel())
+        out_j.append((st[:, None] + lj[None, :]).ravel())
+    for st, m in zip(starts[~normal], sizes[~normal]):  # rare by definition
+        out_i.append(np.full(m - 1, st, dtype=np.int64))
+        out_j.append(np.arange(st + 1, st + m, dtype=np.int64))
+    if not out_i:
+        z = np.empty(0, np.int64)
+        return z, z
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
+_PKEY = "__bpart"
+
+
+def _bucketed_pairs(banded, emit_pairs, num_partitions: int | None = None):
+    """Hash-partition (bucket, ...) rows into ~CPU groups and run ONE
+    vectorized emit per partition. ``emit_pairs(t)`` receives a pyarrow
+    table holding complete buckets (all rows of a bucket co-located) and
+    must return a schema-stable pairs table even when empty."""
+    from engine.ops.partitioning import _cpus
+
+    P = num_partitions or _cpus()
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)
+        pk = ((b * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(P)
+        return t.append_column(_PKEY, pa.array(pk.astype(np.int32)))
+
+    def emit(t: pa.Table) -> pa.Table:
+        return emit_pairs(t.drop_columns([_PKEY]))
+
+    return (banded.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(_PKEY).map_groups(emit, batch_format="pyarrow"))
+
+
+def _sorted_runs(t: pa.Table, id_col: str):
+    """Sort a partition by (bucket, id) and return (bucket, ids, starts,
+    sizes) where starts/sizes delimit the bucket runs."""
+    b = t["bucket"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, b))
+    b, ids = b[order], ids[order]
+    starts = np.nonzero(np.concatenate([[True], b[1:] != b[:-1]]))[0] if b.size else np.empty(0, np.int64)
+    sizes = np.diff(np.append(starts, b.size)).astype(np.int64)
+    return order, b, ids, starts, sizes
+
+
 def candidate_pairs(banded, id_col: str, max_bucket: int = DEFAULT_MAX_BUCKET):
-    """groupby LSH bucket -> local pairs. -> Dataset(a, b) with a < b.
+    """LSH buckets -> local pairs, -> Dataset(a, b) with a < b.
     Oversized buckets emit star pairs (see _bucket_pair_indices)."""
-
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(df[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=ids.dtype), "b": pd.Series([], dtype=ids.dtype)})
-        ii, jj = _bucket_pair_indices(len(ids), max_bucket)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
-
     from engine.ops.dedup import exact_dedup
 
-    raw = banded.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    return exact_dedup(raw, keys=["a", "b"])
+    def emit(t: pa.Table) -> pa.Table:
+        idtype = t.schema.field(id_col).type
+        _, _, ids, starts, sizes = _sorted_runs(t, id_col)
+        ii, jj = _run_pair_indices(starts, sizes, max_bucket)
+        if ii.size:  # duplicate input ids must not become self-pairs
+            keep = ids[ii] != ids[jj]
+            ii, jj = ii[keep], jj[keep]
+        return pa.table({"a": pa.array(ids[ii], type=idtype),
+                         "b": pa.array(ids[jj], type=idtype)})
+
+    return exact_dedup(_bucketed_pairs(banded, emit), keys=["a", "b"])
 
 
 def shingle_sets(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
@@ -290,7 +359,7 @@ def _verify_jaccard_distributed(ds, cands, id_col: str, text_col: str,
     driver-side pair-list materialization). Exact same Jaccard values as
     the broadcast path (tested)."""
     from engine.ops.join import equi_join
-    from engine.ops.partitioning import _cpus
+    from engine.ops.partitioning import _cpus, input_disk_bytes
 
     sh = shingle_sets(ds, id_col, text_col, k_shingle)
     # Chained joins each spawn one aggregator ACTOR per partition and the
@@ -298,7 +367,12 @@ def _verify_jaccard_distributed(ds, cands, id_col: str, text_col: str,
     # two joins at the 2xCPU fallback is 4xCPU actors and DEADLOCKS the
     # cluster (observed at sf0.1). Cap each at half the CPU budget and
     # materialize between them so the first join's actors release first.
-    P = max(2, min(_cpus() // 2, 16))
+    # Partition count scales with the CORPUS size, not the CPU count:
+    # shingle sets + pair lists are text-sized, and each aggregator actor
+    # costs ~0.3s startup per join — 16 of them on a 50MB input is pure
+    # overhead (measured: the two verify joins dominated the sf0.1 bench).
+    by_bytes = max(2, input_disk_bytes(ds) // (32 << 20) + 1)
+    P = max(2, min(_cpus() // 2, 16, by_bytes))
     # rename between joins: Ray only suffixes COLLIDING columns
     j = equi_join(cands, sh, on="a", right_on=id_col,
                   num_partitions=P).rename_columns(
@@ -427,7 +501,6 @@ def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_ham
     Buckets above ``max_bucket`` verify a STAR on the min member instead
     of the full O(B^2) Hamming matrix (see _bucket_pair_indices)."""
     from engine.ops.dedup import exact_dedup
-    from engine.ops.phash import hamming
 
     sigs = ds.map_batches(SimHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
                           batch_format="pyarrow", concurrency=(1, 4))
@@ -436,36 +509,41 @@ def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_ham
         h = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         n = len(h)
-        band_id = np.repeat(np.arange(4, dtype=np.int32), n)
-        band_hash = np.concatenate([((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)])
+        # one int64 bucket key: band index in the high bits, the band's
+        # 16-bit slice in the low bits (single-column groupby downstream)
+        bucket = np.concatenate([
+            (((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)) | np.uint64(b << 16)).astype(np.int64)
+            for b in range(4)
+        ])
         return pa.table({
-            "band_id": pa.array(band_id),
-            "band_hash": pa.array(band_hash),
+            "bucket": pa.array(bucket),
             id_col: pa.array(np.tile(ids, 4)),
             "simhash": pa.array(np.tile(h.view(np.int64), 4)),
         })
 
     banded = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = sub[id_col].to_numpy()
-        hs = sub["simhash"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=ids.dtype),
-                                 "b": pd.Series([], dtype=ids.dtype),
-                                 "hamming": pd.Series([], dtype=np.int32)})
-        if len(ids) > max_bucket:  # degenerate bucket: anchor star, O(B)
-            d = hamming(hs[:1], hs)[0]
-            jj = np.nonzero(d[1:] <= max_hamming)[0] + 1
-            return pd.DataFrame({"a": np.repeat(ids[0], jj.size), "b": ids[jj],
-                                 "hamming": d[jj].astype(np.int32)})
-        d = hamming(hs, hs)
-        ii, jj = np.nonzero(np.triu(d <= max_hamming, 1))
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj], "hamming": d[ii, jj].astype(np.int32)})
+    def emit(t: pa.Table) -> pa.Table:
+        """All buckets of a partition in one pass: sorted runs -> global
+        pair indices -> per-pair XOR popcount (no per-bucket UDF calls,
+        no (B,B) Hamming matrices — the metric is computed on the PAIR
+        LIST). Degenerate buckets contribute star pairs only."""
+        idtype = t.schema.field(id_col).type
+        order, _, ids, starts, sizes = _sorted_runs(t, id_col)
+        hs = t["simhash"].to_numpy(zero_copy_only=False)[order].view(np.uint64)
+        ii, jj = _run_pair_indices(starts, sizes, max_bucket)
+        if ii.size:
+            keep = ids[ii] != ids[jj]
+            ii, jj = ii[keep], jj[keep]
+        x = hs[ii] ^ hs[jj]
+        ham = (np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1)
+               if x.size else np.empty(0, np.int64))
+        ok = ham <= max_hamming
+        return pa.table({"a": pa.array(ids[ii][ok], type=idtype),
+                         "b": pa.array(ids[jj][ok], type=idtype),
+                         "hamming": pa.array(ham[ok].astype(np.int32))})
 
-    raw = banded.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    return exact_dedup(raw, keys=["a", "b"])
+    return exact_dedup(_bucketed_pairs(banded, emit), keys=["a", "b"])
 
 
 # ----------------------------------------------------- embedding cosine --
@@ -550,20 +628,19 @@ def embedding_near_dup_lsh(ds, id_col: str = "vec_id", emb_col: str = "embedding
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         n = len(ids)
-        tabs, hashes, out_ids, vecs = [], [], [], []
+        hashes, out_ids, vecs = [], [], []
         for ti in range(n_tables):
             proj = mn @ planes[ti].T  # (n, planes)
             bits = (proj > 0).astype(np.uint64)
             h = np.zeros(n, dtype=np.uint64)
             for p in range(n_planes):
                 h = (h << np.uint64(1)) | bits[:, p]
-            tabs.append(np.full(n, ti, dtype=np.int32))
-            hashes.append(h.view(np.int64))
+            # one int64 bucket key: table index above the sign-bit field
+            hashes.append((h | np.uint64(ti << n_planes)).view(np.int64))
             out_ids.append(ids)
             vecs.append(mn)
         allv = np.concatenate(vecs, axis=0)
         return pa.table({
-            "table_id": pa.array(np.concatenate(tabs)),
             "bucket": pa.array(np.concatenate(hashes)),
             id_col: pa.array(np.concatenate(out_ids)),
             "nvec": pa.FixedSizeListArray.from_arrays(pa.array(allv.reshape(-1)), dim),
@@ -571,25 +648,25 @@ def embedding_near_dup_lsh(ds, id_col: str = "vec_id", emb_col: str = "embedding
 
     banded = ds.map_batches(bucketize, batch_format="pyarrow")
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = sub[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=ids.dtype),
-                                 "b": pd.Series([], dtype=ids.dtype),
-                                 "cosine": pd.Series([], dtype=np.float64)})
-        m = np.stack(sub["nvec"].to_numpy())
-        if len(ids) > max_bucket:  # degenerate bucket: anchor star, O(B·dim)
-            cos = m[1:] @ m[0]
-            jj = np.nonzero(cos >= threshold)[0] + 1
-            return pd.DataFrame({"a": np.repeat(ids[0], jj.size), "b": ids[jj],
-                                 "cosine": np.round(cos[jj - 1], 5)})
-        cos = m @ m.T
-        ii, jj = np.nonzero(np.triu(cos >= threshold, 1))
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj], "cosine": np.round(cos[ii, jj], 5)})
+    def emit(t: pa.Table) -> pa.Table:
+        """All buckets of a partition in one pass: sorted runs -> global
+        pair indices -> per-pair dot products of the (already normalized)
+        vectors (no per-bucket UDF calls, no (B,B) cosine matrices).
+        Degenerate buckets contribute star pairs only."""
+        idtype = t.schema.field(id_col).type
+        order, _, ids, starts, sizes = _sorted_runs(t, id_col)
+        m = _emb_matrix(t, "nvec")[order]
+        ii, jj = _run_pair_indices(starts, sizes, max_bucket)
+        if ii.size:
+            keep = ids[ii] != ids[jj]
+            ii, jj = ii[keep], jj[keep]
+        cos = np.einsum("ij,ij->i", m[ii], m[jj]) if ii.size else np.empty(0)
+        ok = cos >= threshold
+        return pa.table({"a": pa.array(ids[ii][ok], type=idtype),
+                         "b": pa.array(ids[jj][ok], type=idtype),
+                         "cosine": pa.array(np.round(cos[ok], 5))})
 
-    raw = banded.groupby(["table_id", "bucket"]).map_groups(pairs, batch_format="pandas")
-    return exact_dedup(raw, keys=["a", "b"])
+    return exact_dedup(_bucketed_pairs(banded, emit), keys=["a", "b"])
 
 
 def dup_groups_from_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
@@ -614,6 +691,30 @@ def dup_groups_from_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
             parent[rb] = ra
     rows = [(x, find(x)) for x in parent]
     return pd.DataFrame(rows, columns=["id", "group_id"])
+
+
+def dup_groups(pairs, small_threshold: int = 200_000, max_rounds: int = 25):
+    """Size-dispatched connected components over a verified near-dup pair
+    list -> Dataset(id, group_id).
+
+    Verified pair lists are orders of magnitude smaller than the corpus
+    (dup rate x fanout, ~0.1-1% of rows even on messy web data), so below
+    ``small_threshold`` pairs (200k pairs ~= 3 MB) the component collapse
+    runs driver-side with union-find — milliseconds instead of the ~1.3s
+    PER ROUND that each distributed propagation round costs in exchange
+    setup (measured, 8 CPUs). Above the threshold — a 100 TB corpus with
+    billions of pairs — it dispatches to ``dup_groups_distributed``; the
+    two are property-tested identical (tests/test_neardup.py)."""
+    import ray.data as rd
+
+    if isinstance(pairs, pd.DataFrame):
+        if len(pairs) <= small_threshold:
+            return rd.from_pandas(dup_groups_from_pairs(pairs))
+        return dup_groups_distributed(rd.from_pandas(pairs[["a", "b"]]), max_rounds)
+    pairs = pairs.select_columns(["a", "b"]).materialize()
+    if pairs.count() <= small_threshold:
+        return rd.from_pandas(dup_groups_from_pairs(pairs.to_pandas()))
+    return dup_groups_distributed(pairs, max_rounds)
 
 
 def dup_groups_distributed(pairs, max_rounds: int = 25):
@@ -653,32 +754,38 @@ def dup_groups_distributed(pairs, max_rounds: int = 25):
     from engine.ops.partitioning import _cpus
     from engine.ops.util import drop_empty_blocks
 
-    # each propagation round runs two joins; the 2xCPU aggregator-actor
-    # default costs ~0.3s startup per actor PER ROUND — cap it (the labels
-    # table is one row per paired node, far smaller than the corpus)
-    jp = max(2, min(_cpus() // 2, 16))
+    # each propagation round runs a join; the 2xCPU aggregator-actor
+    # default costs ~0.3s startup per actor PER ROUND — cap it, and cap
+    # harder when the edge list is provably small (it is materialized, so
+    # count() is free metadata)
+    n_edges = edges.count()
+    jp = 2 if n_edges < 100_000 else max(2, min(_cpus() // 2, 16))
 
+    def label_checksum(t: pa.Table) -> pa.Table:
+        """Order-insensitive fingerprint of a labels block: wrap-sum of a
+        SipHash of each (id, label) row, masked to 48 bits so the final
+        cross-block int64 sum cannot overflow (blocks << 2^15). Used for
+        fixpoint detection WITHOUT the old per-round compare join: labels
+        changed iff the checksum changed (collision odds ~ rounds/2^48)."""
+        hi = pd.util.hash_array(t["id"].to_numpy(zero_copy_only=False))
+        hl = pd.util.hash_array(t["label"].to_numpy(zero_copy_only=False))
+        h = hi * np.uint64(0x9E3779B97F4A7C15) + hl
+        s = int(np.sum(h, dtype=np.uint64) & np.uint64((1 << 48) - 1))
+        return pa.table({"ck": pa.array([s], type=pa.int64())})
+
+    prev_ck = labels.map_batches(label_checksum, batch_format="pyarrow").sum("ck")
     for _round in range(max_rounds):
         # neighbor labels: ship each node's current label across its edges
         msg = (equi_join(edges, labels, on="src", right_on="id", num_partitions=jp)
                .select_columns(["dst", "label"])
                .rename_columns({"dst": "id"}))
-        new_labels = drop_empty_blocks(
+        labels = drop_empty_blocks(
             labels.union(msg)
             .groupby("id")
             .aggregate(Min("label", alias_name="label"))
             .materialize())
-        def count_changed(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            n = pc.sum(pc.not_equal(t["new_label"], t["label"])).as_py() or 0
-            return pa.table({"n": pa.array([int(n)], type=pa.int64())})
-
-        changed = (equi_join(new_labels.rename_columns({"label": "new_label"}), labels,
-                             on="id", right_on="id", num_partitions=jp)
-                   .map_batches(count_changed, batch_format="pyarrow")
-                   .sum("n"))
-        labels = new_labels
-        if not changed:
+        ck = labels.map_batches(label_checksum, batch_format="pyarrow").sum("ck")
+        if ck == prev_ck:
             break
+        prev_ck = ck
     return labels.rename_columns({"label": "group_id"})

@@ -93,13 +93,15 @@ def q_embedding_near_dup_lsh(sf_dir):
 
 
 def q_dup_groups(sf_dir):
-    """MinHash pairs -> distributed min-label propagation (connected
-    components): the full dedup-grouping path with no driver union-find."""
-    from engine.ops.neardup import dup_groups_distributed, minhash_near_dup
+    """MinHash pairs -> connected components via the size-dispatched
+    ``dup_groups`` (driver union-find below 200k pairs, distributed
+    min-label propagation above — see engine/ops/neardup.py for the
+    measured crossover; the two paths are property-tested identical)."""
+    from engine.ops.neardup import dup_groups, minhash_near_dup
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = minhash_near_dup(docs, threshold=0.5)
-    out = dup_groups_distributed(pairs).to_pandas()
+    out = dup_groups(pairs).to_pandas()
     return out.sort_values("id").reset_index(drop=True)
 
 

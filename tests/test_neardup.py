@@ -271,3 +271,19 @@ def test_minhash_batch_matches_per_doc(docs_with_dups):
         sh = shingle_hashes(txt, 3)
         ref = ((sh[:, None] * mh.a[None, :] + mh.b[None, :]) % M).min(axis=0)
         np.testing.assert_array_equal(sigs[i], ref)
+
+
+def test_dup_groups_auto_dispatch_matches_distributed(ray_session):
+    import ray.data as rd
+
+    from engine.ops.neardup import dup_groups, dup_groups_distributed
+
+    pairs = pd.DataFrame({"a": [1, 2, 5, 9, 9], "b": [2, 3, 6, 10, 11]})
+    auto = dup_groups(rd.from_pandas(pairs)).to_pandas().sort_values("id").reset_index(drop=True)
+    dist = (dup_groups_distributed(rd.from_pandas(pairs)).to_pandas()
+            .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(auto, dist)
+    # forcing the distributed path through the dispatcher (threshold 0)
+    forced = (dup_groups(rd.from_pandas(pairs), small_threshold=0).to_pandas()
+              .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(forced, dist)
