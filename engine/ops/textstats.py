@@ -10,11 +10,7 @@ pytest-oracled rows-only.
 
 from __future__ import annotations
 
-import re
-import zlib
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -23,25 +19,42 @@ import pyarrow.compute as pc
 # BPE-ish pre-tokenizer (GPT-2 style, ASCII approximation: contractions,
 # letter runs, digit runs, punctuation runs, whitespace)
 BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+# Count-equivalent form without the lookahead (RE2 has none). Dropping
+# `\s+(?!\S)` mostly just moves a TOKEN BOUNDARY (trailing space glued to
+# the next word vs. kept in the whitespace run), which leaves the match
+# COUNT — all we emit — unchanged. The one case where the count does
+# change: a >=2-char whitespace run ending in a non-space whitespace char
+# directly before a word ("x\t\nmix") tokenizes as TWO whitespace tokens
+# under the lookahead (run head, then the unjoinable last char) but ONE
+# under plain `\s+`. Each such run matches `\s[\t\n\r\f]\S` exactly once,
+# so the true count is count(BPE_COUNT_PATTERN) + count(BPE_COUNT_FIXUP).
+# Parity vs. Python findall is pytest-oracled on real + adversarial text.
+# Caveat: RE2's \s is ASCII-only while Python's is Unicode-aware, so
+# counts can differ on exotic whitespace (U+00A0, \v); the parity
+# contract covers common ASCII text.
+BPE_COUNT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+BPE_COUNT_FIXUP = r"\s[\t\n\r\f]\S"
 
 
 class TokenCounter:
-    """n_tokens_ws (whitespace) + n_tokens_bpe (BPE-ish regex) per doc."""
+    """n_tokens_ws (whitespace) + n_tokens_bpe (BPE-ish regex) per doc.
+    Both counts are single vectorized RE2 kernels over the whole batch —
+    no per-document findall loop."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
-        self.pat = re.compile(BPE_PATTERN)
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
+        col = t[self.text_col]
         ws = pc.list_value_length(
-            pc.split_pattern_regex(pc.utf8_trim_whitespace(t[self.text_col]), r"\s+")
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(col), r"\s+")
         )
-        bpe = np.fromiter((len(self.pat.findall(x)) for x in texts), dtype=np.int64, count=len(texts))
+        bpe = pc.add(pc.count_substring_regex(col, BPE_COUNT_PATTERN),
+                     pc.count_substring_regex(col, BPE_COUNT_FIXUP))
         return pa.table({
             self.id_col: t[self.id_col],
             "n_tokens_ws": pc.cast(ws, pa.int64()),
-            "n_tokens_bpe": pa.array(bpe),
+            "n_tokens_bpe": pc.cast(bpe, pa.int64()),
         })
 
 
@@ -160,31 +173,123 @@ class LangId:
 
 # --------------------------------------------------------- fingerprints --
 
+# Rolling polynomial k-gram hash (Rabin-Karp style, FNV-prime base, mod
+# 2^64, masked to 63 bits for int64 storage). Chosen over crc32 because
+# the whole batch's hashes come out of k shifted multiply-adds over the
+# raw utf-8 buffer — crc32 forced one Python call per BYTE per document.
+_FP_BASE = np.uint64(1099511628211)
+_FP_MASK = np.uint64(0x7FFFFFFFFFFFFFFF)
+
+
+def _poly_kgram_hashes(b: np.ndarray, k: int) -> np.ndarray:
+    """Hashes of every k-gram of a uint8 array (vectorized; len-k+1 out).
+    In-place multiply-add: the naive `h = h*B + x` form reallocates two
+    full-size temporaries per round and measured ~30x slower."""
+    n = b.size - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    bu = b.astype(np.uint64)
+    for j in range(k):
+        np.multiply(h, _FP_BASE, out=h)
+        np.add(h, bu[j : j + n], out=h)
+    np.bitwise_and(h, _FP_MASK, out=h)
+    return h
+
+
+def _window_min(h: np.ndarray, w: int) -> np.ndarray:
+    """Min over each sliding window of w hashes (w-1 vector mins)."""
+    m = h[: h.size - w + 1].copy()
+    for j in range(1, w):
+        np.minimum(m, h[j : j + m.size], out=m)
+    return m
+
+
 def winnow_fingerprints(text: str, k: int = 8, w: int = 4) -> np.ndarray:
-    """Winnowing (Schleimer et al. 2003): crc32 of each k-gram, min per
+    """Winnowing (Schleimer et al. 2003): hash of each k-gram, min per
     sliding window of w hashes, deduplicated — a document sketch robust
-    to local edits."""
-    b = text.encode("utf-8")
-    if len(b) < k:
-        return np.array([zlib.crc32(b)], dtype=np.int64)
-    hs = np.fromiter(
-        (zlib.crc32(b[i : i + k]) for i in range(len(b) - k + 1)), dtype=np.int64
-    )
-    if len(hs) <= w:
-        return np.unique(hs.min(keepdims=True))
-    mins = pd.Series(hs).rolling(w).min().to_numpy()[w - 1 :]
-    return np.unique(mins.astype(np.int64))
+    to local edits. Reference per-document form; `Fingerprinter` computes
+    the identical values for a whole batch in one pass (parity-tested)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if b.size < k:
+        h = np.uint64(0)
+        for v in b.astype(np.uint64):
+            h = h * _FP_BASE + v
+        return np.array([np.int64(h & _FP_MASK)], dtype=np.int64)
+    hs = _poly_kgram_hashes(b, k)
+    if hs.size <= w:
+        return np.array([np.int64(hs.min())], dtype=np.int64)
+    return np.unique(_window_min(hs, w).astype(np.int64))
 
 
 class Fingerprinter:
+    """Batch winnowing: ONE rolling-hash + windowed-min pass over the
+    batch's concatenated utf-8 buffer (zero-copy from Arrow), per-doc
+    results carved out by the string offsets — k-grams and windows never
+    cross a document boundary because each doc's valid ranges are sliced
+    from the global arrays. Per-doc output: number of distinct
+    fingerprints + the minimum fingerprint."""
+
     def __init__(self, id_col: str = "doc_id", text_col: str = "text", k: int = 8, w: int = 4):
         self.id_col, self.text_col, self.k, self.w = id_col, text_col, k, w
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
-        fps = [winnow_fingerprints(x, self.k, self.w) for x in texts]
+        k, w = self.k, self.w
+        col = t[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_large_string(col.type):
+            col = col.cast(pa.string())
+        n_docs = len(col)
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset : col.offset + n_docs + 1].astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        lens = np.diff(offs)
+
+        vals_parts, docs_parts = [], []
+        long = np.nonzero(lens >= k)[0]
+        if long.size:
+            hs = _poly_kgram_hashes(data, k) if data.size >= k else np.empty(0, np.uint64)
+            # docs with more than w k-grams: winnowed window minima
+            big = long[lens[long] - k + 1 > w]
+            if big.size:
+                mins = _window_min(hs, w)
+                cnt = lens[big] - k - w + 2            # windows per doc
+                tot = int(cnt.sum())
+                # concatenated ranges: [offs[d], offs[d]+cnt[d]) for each d
+                idx = np.repeat(offs[big], cnt) + (
+                    np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+                vals_parts.append(mins[idx].astype(np.int64))
+                docs_parts.append(np.repeat(big, cnt))
+            # docs with 1..w k-grams: single min over all their hashes
+            small = long[lens[long] - k + 1 <= w]
+            if small.size:
+                cnt = lens[small] - k + 1
+                seg = np.array([hs[o : o + c].min() for o, c in zip(offs[small], cnt)],
+                               dtype=np.uint64)
+                vals_parts.append(seg.astype(np.int64))
+                docs_parts.append(small)
+        tiny = np.nonzero(lens < k)[0]
+        for d in tiny:  # rare: docs shorter than one k-gram
+            h = np.uint64(0)
+            for v in data[offs[d] : offs[d + 1]].astype(np.uint64):
+                h = h * _FP_BASE + v
+            vals_parts.append(np.array([np.int64(h & _FP_MASK)]))
+            docs_parts.append(np.array([d], dtype=np.int64))
+
+        if vals_parts:
+            vals = np.concatenate(vals_parts)
+            docs = np.concatenate(docs_parts)
+            order = np.lexsort((vals, docs))
+            vals, docs = vals[order], docs[order]
+            new = np.concatenate([[True], (docs[1:] != docs[:-1]) | (vals[1:] != vals[:-1])])
+            n_fp = np.bincount(docs[new], minlength=n_docs)
+            doc_start = np.concatenate([[True], docs[1:] != docs[:-1]])
+            min_fp = np.zeros(n_docs, dtype=np.int64)
+            min_fp[docs[doc_start]] = vals[doc_start]
+        else:
+            n_fp = np.zeros(n_docs, dtype=np.int64)
+            min_fp = np.zeros(n_docs, dtype=np.int64)
         return pa.table({
             self.id_col: t[self.id_col],
-            "n_fingerprints": pa.array([len(f) for f in fps], type=pa.int64()),
-            "min_fingerprint": pa.array([int(f.min()) for f in fps], type=pa.int64()),
+            "n_fingerprints": pa.array(n_fp.astype(np.int64)),
+            "min_fingerprint": pa.array(min_fp),
         })

@@ -65,6 +65,51 @@ def test_token_counter_oracle(ray_session):
     assert (out["n_tokens_bpe"].to_numpy() == df["text"].map(lambda x: len(pat.findall(x))).to_numpy()).all()
 
 
+def test_bpe_count_kernel_matches_findall_adversarial():
+    """The lookahead-free RE2 count pattern must count exactly like the
+    Python findall reference on boundary-heavy ASCII text (trailing
+    runs, multi-space gaps, contractions, digit/punct runs)."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.ops.textstats import BPE_COUNT_FIXUP, BPE_COUNT_PATTERN, BPE_PATTERN
+
+    pat = re.compile(BPE_PATTERN)
+    rng = np.random.default_rng(7)
+    pieces = ["word", "Don't", "it's", "we'll", "I've", "you're", "42",
+              "3.14", "!!", "--", ",", " ", "  ", "   ", "\t", "\n", "\n\n",
+              "a", "X", "...", "end "]
+    cases = ["", " ", "   ", "a", "don't stop", "a  b", "tail   ", "\t\nmix  \n"]
+    cases += ["".join(rng.choice(pieces, size=rng.integers(1, 40))) for _ in range(200)]
+    arr = pa.array(cases)
+    got = pc.add(pc.count_substring_regex(arr, BPE_COUNT_PATTERN),
+                 pc.count_substring_regex(arr, BPE_COUNT_FIXUP)).to_pylist()
+    want = [len(pat.findall(c)) for c in cases]
+    assert got == want
+
+
+def test_fingerprinter_batch_matches_per_doc(ray_session):
+    """Batch winnowing (one pass over the Arrow buffer) must equal the
+    per-document reference exactly, including docs shorter than k and
+    docs with <= w k-grams."""
+    import ray.data as rd
+
+    from engine.ops.textstats import Fingerprinter, winnow_fingerprints
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 3,
+             "", "a", "short", "exactly8", "exactly8!", "exactly8!!",
+             "abcdefghijk", "repeat " * 50, "zebra quagga okapi " * 7]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (rd.from_pandas(df).map_batches(Fingerprinter, batch_format="pyarrow", concurrency=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, txt in enumerate(texts):
+        ref = winnow_fingerprints(txt)
+        assert out["n_fingerprints"][i] == len(ref), (i, txt)
+        assert out["min_fingerprint"][i] == int(ref.min()), (i, txt)
+
+
 def test_langid_deterministic_and_scored(ray_session):
     import ray.data as rd
 
