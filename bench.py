@@ -214,7 +214,8 @@ def run_queries(sf_dir: str) -> dict:
     names = ["asof_join", "lag_lead", "rolling_24h", "sessionize", "backfill_daily",
              "q1_pricing_summary", "join_orders_customer", "dedup_events",
              # LLM-data ops (VERDICT r1 item 10): dedup + similarity at sf scale
-             "minhash_near_dup", "simhash_near_dup", "embedding_near_dup_lsh",
+             "minhash_near_dup", "simhash_near_dup", "ngram_jaccard_near_dup",
+             "embedding_near_dup_lsh",
              "ann_topk", "ann_topk_ivf", "lang_id", "sample_events_fast",
              # full curation path (VERDICT r2 item 9): grouping + audio decode
              "dup_groups", "multimodal_audio"]

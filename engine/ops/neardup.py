@@ -214,7 +214,8 @@ def _bucket_pair_indices(n: int, max_bucket: int):
     return ii, jj
 
 
-def _run_pair_indices(starts: np.ndarray, sizes: np.ndarray, max_bucket: int):
+def _run_pair_indices(starts: np.ndarray, sizes: np.ndarray, max_bucket: int,
+                      overflow: str = "star"):
     """GLOBAL pair indices for MANY sorted bucket runs at once (the
     vectorized heart of candidate generation). For each run r of size m_r
     starting at starts[r]: all triu pairs when m_r <= max_bucket, else a
@@ -222,7 +223,11 @@ def _run_pair_indices(starts: np.ndarray, sizes: np.ndarray, max_bucket: int):
     _bucket_pair_indices, but batched by DISTINCT SIZE so the work is one
     broadcast per size class instead of one Python call per bucket
     (map_groups per bucket was 800k UDF calls at sf0.1 — the dominant
-    cost of the whole minhash pipeline)."""
+    cost of the whole minhash pipeline).
+
+    overflow="drop" skips oversized runs entirely instead of emitting a
+    star — the inverted-index/df-cap semantics (stop-shingle removal),
+    where an oracle must be able to state the rule in SQL."""
     multi = sizes >= 2
     starts, sizes = starts[multi], sizes[multi]
     out_i, out_j = [], []
@@ -233,9 +238,10 @@ def _run_pair_indices(starts: np.ndarray, sizes: np.ndarray, max_bucket: int):
         li, lj = np.triu_indices(int(s), 1)   # (p,) local pairs
         out_i.append((st[:, None] + li[None, :]).ravel())
         out_j.append((st[:, None] + lj[None, :]).ravel())
-    for st, m in zip(starts[~normal], sizes[~normal]):  # rare by definition
-        out_i.append(np.full(m - 1, st, dtype=np.int64))
-        out_j.append(np.arange(st + 1, st + m, dtype=np.int64))
+    if overflow == "star":
+        for st, m in zip(starts[~normal], sizes[~normal]):  # rare by definition
+            out_i.append(np.full(m - 1, st, dtype=np.int64))
+            out_j.append(np.arange(st + 1, st + m, dtype=np.int64))
     if not out_i:
         z = np.empty(0, np.int64)
         return z, z
@@ -435,6 +441,53 @@ def minhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
             return pa.table({"a": t["a"], "b": t["b"], "jaccard": pa.array(np.round(out, 6))})
 
         verified = cands.map_batches(jac, batch_format="pyarrow")
+    return verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
+                           k: int = 3, threshold: float = 0.5, df_cap: int = 256):
+    """Exact word-k-gram Jaccard near-dup (no sketch): inverted shingle
+    index -> candidate pairs sharing >= 1 shingle whose document
+    frequency is <= df_cap (higher-df "stop shingles" generate no
+    candidates — the standard all-pairs-similarity blocking rule) ->
+    exact segmented Jaccard on the candidates -> Dataset(a, b, jaccard)
+    with jaccard >= threshold.
+
+    Unlike minhash_near_dup (probabilistic recall from banding), recall
+    is exact for every pair sharing at least one sub-cap shingle; a pair
+    is missed only if ALL its common shingles are corpus-wide
+    boilerplate. The df_cap rule is deliberately SQL-expressible, so the
+    DuckDB oracle reproduces the full result value-exactly (shingle
+    equality over token-sequence hashes here == equality over
+    space-joined gram strings there, modulo 64-bit collisions)."""
+    from engine.ops.dedup import exact_dedup
+
+    sh = shingle_sets(ds, id_col, text_col, k)
+
+    def explode(t: pa.Table) -> pa.Table:
+        offs, data = _binary_views(t["shingles"])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(data.view(np.int64)),
+            id_col: pa.array(np.repeat(ids, np.diff(offs))),
+        })
+
+    banded = sh.map_batches(explode, batch_format="pyarrow")
+
+    def emit(t: pa.Table) -> pa.Table:
+        idtype = t.schema.field(id_col).type
+        _, _, ids, starts, sizes = _sorted_runs(t, id_col)
+        ii, jj = _run_pair_indices(starts, sizes, df_cap, overflow="drop")
+        if ii.size:
+            keep = ids[ii] != ids[jj]
+            ii, jj = ii[keep], jj[keep]
+        return pa.table({"a": pa.array(ids[ii], type=idtype),
+                         "b": pa.array(ids[jj], type=idtype)})
+
+    cands = exact_dedup(_bucketed_pairs(banded, emit), keys=["a", "b"])
+    verified = _verify_jaccard_distributed(ds, cands, id_col, text_col, k)
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
         batch_format="pyarrow", zero_copy_batch=True)

@@ -71,6 +71,18 @@ def q_simhash_near_dup(sf_dir):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_ngram_jaccard_near_dup(sf_dir):
+    """Exact word-3-gram Jaccard dedup via inverted shingle index with a
+    df cap — the no-sketch member of the dedup family, value-exact
+    against the DuckDB oracle (same gram definition, same df rule, same
+    rounding)."""
+    from engine.ops.neardup import ngram_jaccard_near_dup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_near_dup(docs, threshold=0.5, df_cap=256).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_embedding_near_dup(sf_dir):
     """Size-switched route: exact O(n·N) brute below the switch (keeps the
     SQL-exact oracle at sf0.01), sign-LSH above it (the scale path — the
@@ -186,6 +198,42 @@ _COS_DOT = (
 )
 
 ORACLE_SQL_ML = {
+    "ngram_jaccard_near_dup": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> length(x) > 0) AS w
+          FROM documents),
+        idx AS (
+          SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+          FROM toks WHERE len(w) >= 3),
+        grams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+            FROM idx
+            UNION ALL
+            SELECT doc_id, array_to_string(w, ' ') AS g
+            FROM toks WHERE len(w) < 3)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM grams a
+          JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          JOIN df ON df.g = a.g
+          WHERE df.df <= 256),
+        common AS (
+          SELECT c.a, c.b, count(*) AS cnt
+          FROM cand c
+          JOIN grams ga ON ga.doc_id = c.a
+          JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g
+          GROUP BY c.a, c.b)
+        SELECT c.a, c.b,
+               ROUND(CAST(c.cnt AS DOUBLE) / (na.n + nb.n - c.cnt), 6) AS jaccard
+        FROM common c
+        JOIN sizes na ON na.doc_id = c.a
+        JOIN sizes nb ON nb.doc_id = c.b
+        WHERE ROUND(CAST(c.cnt AS DOUBLE) / (na.n + nb.n - c.cnt), 6) >= 0.5""",
     "quality_components": r"""
         SELECT doc_id,
                length(text) AS n_chars,
@@ -231,6 +279,7 @@ QUERIES_ML = {
     "fingerprints": q_fingerprints,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
+    "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "dup_groups": q_dup_groups,

@@ -273,6 +273,47 @@ def test_minhash_batch_matches_per_doc(docs_with_dups):
         np.testing.assert_array_equal(sigs[i], ref)
 
 
+def test_ngram_jaccard_finds_planted_dups_exactly(ray_session, docs_with_dups):
+    """The inverted-index path must find EVERY planted pair (recall is
+    exact below the df cap, unlike minhash banding) with the exact
+    per-pair Jaccard from the per-doc reference sets."""
+    import ray.data as rd
+
+    from engine.ops.neardup import ngram_jaccard_near_dup, shingle_hashes
+
+    out = ngram_jaccard_near_dup(rd.from_pandas(docs_with_dups), threshold=0.5).to_pandas()
+    found = {(min(a, b), max(a, b)) for a, b in zip(out["a"], out["b"])}
+    planted = {(i, 10_000 + k) for k, i in enumerate(docs_with_dups.head(10)["doc_id"])}
+    assert planted <= found, planted - found
+    sh = {r.doc_id: shingle_hashes(r.text) for r in docs_with_dups.itertuples()}
+    for r in out.itertuples():
+        inter = np.intersect1d(sh[r.a], sh[r.b], assume_unique=True).size
+        union = np.union1d(sh[r.a], sh[r.b]).size
+        assert r.jaccard == round(inter / union, 6), (r.a, r.b)
+        assert r.jaccard >= 0.5
+
+
+def test_ngram_jaccard_df_cap_drops_stop_shingles(ray_session):
+    """Docs that ONLY share shingles above the df cap must produce no
+    pairs (stop-shingle blocking), while docs sharing a rare shingle
+    still pair."""
+    import ray.data as rd
+
+    boiler = "common header line repeated everywhere in this corpus"
+    docs = [{"doc_id": i, "text": f"{boiler} unique{i} filler{i} tail{i}"} for i in range(8)]
+    docs += [{"doc_id": 100, "text": f"{boiler} rare shared suffix alpha"},
+             {"doc_id": 101, "text": f"{boiler} rare shared suffix alpha"}]
+    ds = rd.from_pandas(pd.DataFrame(docs))
+    from engine.ops.neardup import ngram_jaccard_near_dup
+
+    out = ngram_jaccard_near_dup(ds, threshold=0.3, df_cap=5).to_pandas()
+    pairs = {(min(a, b), max(a, b)) for a, b in zip(out["a"], out["b"])}
+    # the boilerplate 3-grams have df=10 > 5, so the first 8 docs (whose
+    # only common shingles are boilerplate) never become candidates
+    assert all(p == (100, 101) for p in pairs), pairs
+    assert (100, 101) in pairs
+
+
 def test_dup_groups_auto_dispatch_matches_distributed(ray_session):
     import ray.data as rd
 
