@@ -448,23 +448,36 @@ def minhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
 
 def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
                            k: int = 3, threshold: float = 0.5, df_cap: int = 256):
-    """Exact word-k-gram Jaccard near-dup (no sketch): inverted shingle
-    index -> candidate pairs sharing >= 1 shingle whose document
-    frequency is <= df_cap (higher-df "stop shingles" generate no
-    candidates — the standard all-pairs-similarity blocking rule) ->
-    exact segmented Jaccard on the candidates -> Dataset(a, b, jaccard)
-    with jaccard >= threshold.
+    """Exact word-k-gram Jaccard near-dup (no sketch) over SUB-CAP
+    shingles: shingles with document frequency > df_cap are stop
+    shingles — removed from the similarity measure entirely (stopword
+    semantics), which both bounds every inverted-index bucket at df_cap
+    rows AND lets the intersection be counted instead of re-derived:
 
-    Unlike minhash_near_dup (probabilistic recall from banding), recall
-    is exact for every pair sharing at least one sub-cap shingle; a pair
-    is missed only if ALL its common shingles are corpus-wide
-    boilerplate. The df_cap rule is deliberately SQL-expressible, so the
-    DuckDB oracle reproduces the full result value-exactly (shingle
-    equality over token-sequence hashes here == equality over
-    space-joined gram strings there, modulo 64-bit collisions)."""
-    from engine.ops.dedup import exact_dedup
+      pair rows   : one (a, b) row per SHARED sub-cap shingle, emitted
+                    from df-bounded buckets (never quadratic)
+      intersection: groupby(a, b).count() — no shingle-set re-join, no
+                    per-pair set materialization (the first cut joined
+                    full shingle sets onto every candidate and lexsorted
+                    ~3x10^8 values at sf0.1: 141 s; this form is one
+                    count shuffle of the pair rows)
+      sizes       : per-doc sub-cap shingle counts = total distinct
+                    (free from the set offsets) minus membership hits
+                    against the broadcast stop-shingle list, whose size
+                    is bounded by corpus_shingles/df_cap
+      jaccard     : c / (n_a + n_b - c), filter >= threshold
 
-    sh = shingle_sets(ds, id_col, text_col, k)
+    On any corpus where no shingle exceeds df_cap (both test scales:
+    max df 25) this equals full-set Jaccard exactly. Every rule is
+    SQL-expressible, so the DuckDB oracle matches value-exactly.
+    -> Dataset(a, b, jaccard). At doc counts where a per-doc size table
+    no longer broadcasts (~10^10+), swap the two broadcast_lookup calls
+    for equi_join — same semantics."""
+    import ray
+
+    from engine.ops.join import broadcast_lookup
+
+    sh = shingle_sets(ds, id_col, text_col, k).materialize()
 
     def explode(t: pa.Table) -> pa.Table:
         offs, data = _binary_views(t["shingles"])
@@ -476,6 +489,11 @@ def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
 
     banded = sh.map_batches(explode, batch_format="pyarrow")
 
+    # stop-shingle list: tiny by construction (<= total shingles / df_cap)
+    df_tbl = banded.groupby("bucket").count().to_pandas()
+    capped = np.sort(df_tbl.loc[df_tbl["count()"] > df_cap, "bucket"].to_numpy())
+    capped_ref = ray.put(capped)
+
     def emit(t: pa.Table) -> pa.Table:
         idtype = t.schema.field(id_col).type
         _, _, ids, starts, sizes = _sorted_runs(t, id_col)
@@ -486,11 +504,40 @@ def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
         return pa.table({"a": pa.array(ids[ii], type=idtype),
                          "b": pa.array(ids[jj], type=idtype)})
 
-    cands = exact_dedup(_bucketed_pairs(banded, emit), keys=["a", "b"])
-    verified = _verify_jaccard_distributed(ds, cands, id_col, text_col, k)
-    return verified.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
-        batch_format="pyarrow", zero_copy_batch=True)
+    pair_rows = _bucketed_pairs(banded, emit)  # one row per shared shingle
+    from ray.data.aggregate import Count
+
+    common = pair_rows.groupby(["a", "b"]).aggregate(Count(alias_name="c"))
+
+    def sizes_fn(t: pa.Table) -> pa.Table:
+        stop = ray.get(capped_ref)
+        offs, data = _binary_views(t["shingles"])
+        n_total = np.diff(offs)
+        if stop.size:
+            vals = data.view(np.int64)
+            pos = np.clip(np.searchsorted(stop, vals), 0, stop.size - 1)
+            is_stop = (stop[pos] == vals).astype(np.int64)
+            cum = np.zeros(len(vals) + 1, np.int64)
+            np.cumsum(is_stop, out=cum[1:])
+            n_total = n_total - (cum[offs[1:]] - cum[offs[:-1]])
+        return pa.table({id_col: t[id_col], "n": pa.array(n_total)})
+
+    size_ds = sh.map_batches(sizes_fn, batch_format="pyarrow")
+    j = broadcast_lookup(common, size_ds, on="a", right_on=id_col)
+    j = j.rename_columns({"n": "na"})
+    j = broadcast_lookup(j, size_ds, on="b", right_on=id_col).rename_columns({"n": "nb"})
+
+    def jac(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jv = np.round(c / (na + nb - c), 6)
+        keep = jv >= threshold
+        return pa.table({"a": t["a"].filter(pa.array(keep)),
+                         "b": t["b"].filter(pa.array(keep)),
+                         "jaccard": pa.array(jv[keep])})
+
+    return j.map_batches(jac, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- simhash --

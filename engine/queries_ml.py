@@ -214,20 +214,16 @@ ORACLE_SQL_ML = {
             UNION ALL
             SELECT doc_id, array_to_string(w, ' ') AS g
             FROM toks WHERE len(w) < 3)),
-        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
         df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-          FROM grams a
-          JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-          JOIN df ON df.g = a.g
+        kept AS (
+          SELECT gr.doc_id, gr.g FROM grams gr JOIN df USING (g)
           WHERE df.df <= 256),
+        sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
         common AS (
-          SELECT c.a, c.b, count(*) AS cnt
-          FROM cand c
-          JOIN grams ga ON ga.doc_id = c.a
-          JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g
-          GROUP BY c.a, c.b)
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS cnt
+          FROM kept a
+          JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
         SELECT c.a, c.b,
                ROUND(CAST(c.cnt AS DOUBLE) / (na.n + nb.n - c.cnt), 6) AS jaccard
         FROM common c
