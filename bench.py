@@ -217,6 +217,8 @@ def run_queries(sf_dir: str) -> dict:
              "minhash_near_dup", "simhash_near_dup", "ngram_jaccard_near_dup",
              "embedding_near_dup_lsh",
              "ann_topk", "ann_topk_ivf", "lang_id", "sample_events_fast",
+             # round-3 curation ops: filters + packing over documents
+             "repetition_stats", "decontaminate", "pack_sequences",
              # full curation path (VERDICT r2 item 9): grouping + audio decode
              "dup_groups", "multimodal_audio"]
     out = {}

@@ -373,12 +373,21 @@ def _verify_jaccard_distributed(ds, cands, id_col: str, text_col: str,
     # two joins at the 2xCPU fallback is 4xCPU actors and DEADLOCKS the
     # cluster (observed at sf0.1). Cap each at half the CPU budget and
     # materialize between them so the first join's actors release first.
+    # The join INPUTS are materialized too: a hash join's aggregator +
+    # map-worker actors can otherwise claim every CPU while the lazy
+    # upstream pipeline (read -> minhash -> band -> bucket groupby) still
+    # needs CPUs to produce the join's input — observed as a hard
+    # deadlock at num_cpus=4 (2 aggregators + 2 map workers, all idle).
+    # Joins consume their whole input before emitting anyway, so this
+    # costs object-store residency (spillable), not wall time.
     # Partition count scales with the CORPUS size, not the CPU count:
     # shingle sets + pair lists are text-sized, and each aggregator actor
     # costs ~0.3s startup per join — 16 of them on a 50MB input is pure
     # overhead (measured: the two verify joins dominated the sf0.1 bench).
     by_bytes = max(2, input_disk_bytes(ds) // (32 << 20) + 1)
     P = max(2, min(_cpus() // 2, 16, by_bytes))
+    cands = cands.materialize()
+    sh = sh.materialize()
     # rename between joins: Ray only suffixes COLLIDING columns
     j = equi_join(cands, sh, on="a", right_on=id_col,
                   num_partitions=P).rename_columns(

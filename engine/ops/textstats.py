@@ -11,8 +11,11 @@ pytest-oracled rows-only.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from engine.ops.decontam import _kept_tokens
 
 # ------------------------------------------------------ token counting --
 
@@ -168,6 +171,105 @@ class LangId:
             self.id_col: t[self.id_col],
             "pred_lang": pa.array(langs.tolist(), type=pa.string()),
             "lang_score": pa.array(out_scores, type=pa.float64()),
+        })
+
+
+# ----------------------------------------------------- repetition stats --
+
+
+class RepetitionStats:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-line mass and most-frequent-word-2-gram mass per document.
+
+    All outputs are exact INTEGERS (fractions are left to the consumer)
+    so the DuckDB oracle matches value-exactly with no float rounding:
+
+      n_lines         non-empty lines ('\\n' split segments, len > 0)
+      n_line_chars    total characters across those lines
+      n_dup_lines     occurrences of any line value appearing >= 2x
+      dup_line_chars  characters in those occurrences
+      top2gram_chars  max over word-2-grams g of count(g) * len(g)
+                      (counted with multiplicity; 0 with < 2 tokens)
+
+    Vectorized: one split kernel per batch per axis, one SipHash C pass,
+    one lexsort; per-doc sums/maxima via bincount / run reduction. Line
+    and gram identity is by 64-bit hash (collision-negligible)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    @staticmethod
+    def _runs(h: np.ndarray, doc: np.ndarray):
+        """Sort by (doc, h); return run starts, run sizes, sorted doc/idx."""
+        order = np.lexsort((h, doc))
+        d, v = doc[order], h[order]
+        new = np.empty(d.size, bool)
+        new[0] = True
+        new[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, d.size))
+        return order, d, starts, sizes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_large_string(col.type):
+            col = col.cast(pa.string())
+        n = len(col)
+        zeros = lambda: np.zeros(n, np.int64)  # noqa: E731
+        n_lines, n_line_chars, n_dup, dup_chars, top2 = (
+            zeros(), zeros(), zeros(), zeros(), zeros())
+
+        # ---- duplicate lines ----
+        parts = pc.split_pattern(col, "\n")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        poffs = parts.offsets.to_numpy().astype(np.int64)
+        flat = parts.values.slice(poffs[0], poffs[-1] - poffs[0])
+        poffs = poffs - poffs[0]
+        lens_all = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = lens_all > 0
+        doc_all = np.repeat(np.arange(n, dtype=np.int64), np.diff(poffs))
+        ldoc, llen = doc_all[keep], lens_all[keep]
+        if ldoc.size:
+            lh = pd.util.hash_array(flat.filter(pa.array(keep)).to_numpy(zero_copy_only=False))
+            order, d, starts, sizes = self._runs(lh, ldoc)
+            rdoc, rlen = d[starts], llen[order][starts]
+            n_lines = np.bincount(ldoc, minlength=n)
+            n_line_chars = np.bincount(ldoc, weights=llen, minlength=n).astype(np.int64)
+            dup = sizes >= 2
+            n_dup = np.bincount(rdoc[dup], weights=sizes[dup], minlength=n).astype(np.int64)
+            dup_chars = np.bincount(rdoc[dup], weights=(sizes * rlen)[dup],
+                                    minlength=n).astype(np.int64)
+
+        # ---- top word-2-gram mass ----
+        toks, _toffs, tdoc = _kept_tokens(col)
+        F = len(toks)
+        if F >= 2:
+            th = pd.util.hash_array(toks.to_numpy(zero_copy_only=False))
+            tlen = pc.utf8_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+            valid = tdoc[:-1] == tdoc[1:]
+            if valid.any():
+                gh = (th[:-1] * np.uint64(1099511628211) + th[1:])[valid]
+                glen = (tlen[:-1] + tlen[1:] + 1)[valid]
+                gdoc = tdoc[:-1][valid]
+                order, d, starts, sizes = self._runs(gh, gdoc)
+                mass = sizes * glen[order][starts]
+                rdoc = d[starts]
+                doc_start = np.empty(rdoc.size, bool)
+                doc_start[0] = True
+                doc_start[1:] = rdoc[1:] != rdoc[:-1]
+                top2[rdoc[doc_start]] = np.maximum.reduceat(
+                    mass, np.flatnonzero(doc_start))
+
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "n_lines": pa.array(n_lines.astype(np.int64)),
+            "n_line_chars": pa.array(n_line_chars),
+            "n_dup_lines": pa.array(n_dup),
+            "dup_line_chars": pa.array(dup_chars),
+            "top2gram_chars": pa.array(top2),
         })
 
 

@@ -54,6 +54,56 @@ def q_fingerprints(sf_dir):
     return docs.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 2))
 
 
+def q_repetition_stats(sf_dir):
+    """Gopher-style repetition signals (dup-line mass, top-2-gram mass)
+    as exact integers — value-exact vs the DuckDB oracle."""
+    from engine.ops.textstats import RepetitionStats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(RepetitionStats, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def q_decontaminate(sf_dir):
+    """GPT-3-style eval decontamination: docs with doc_id % 97 == 0 play
+    the benchmark set; every other doc is scored for distinct shared
+    word-3-grams against the broadcast benchmark gram set.  Gram
+    STRINGS are compared (hashes only for per-doc dedup), so the DuckDB
+    oracle matches value-exactly."""
+    import pyarrow as pa
+
+    from engine.ops.decontam import benchmark_gram_set, ngram_contamination
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 97) == 0
+            return t.filter(pa.array(m if bench else ~m))
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    grams = benchmark_gram_set(bench)
+    return ngram_contamination(train, grams)
+
+
+def q_pack_sequences(sf_dir):
+    """Token-budget sequence packing (partition-local greedy): docs ->
+    whitespace token counts -> packed assignment.  Greedy recursion
+    isn't SQL-expressible, so this is rows-only; the packing invariants
+    (every doc exactly once, no sequence over budget, determinism) are
+    pytest-oracled in tests/test_pack.py."""
+    from engine.ops.pack import pack_sequences
+    from engine.ops.textstats import TokenCounter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 2))
+    toks = toks.select_columns(["doc_id", "n_tokens_ws"])
+    return pack_sequences(toks, max_tokens=256, tok_col="n_tokens_ws",
+                          num_partitions=16)
+
+
 # ---------------------------------------------------------------- dedup --
 
 def q_minhash_near_dup(sf_dir):
@@ -230,6 +280,69 @@ ORACLE_SQL_ML = {
         JOIN sizes na ON na.doc_id = c.a
         JOIN sizes nb ON nb.doc_id = c.b
         WHERE ROUND(CAST(c.cnt AS DOUBLE) / (na.n + nb.n - c.cnt), 6) >= 0.5""",
+    "repetition_stats": r"""
+        WITH lines AS (
+          SELECT doc_id, l FROM (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+            FROM documents)
+          WHERE length(l) > 0),
+        lc AS (
+          SELECT doc_id, l, count(*) AS c, length(l) AS len
+          FROM lines GROUP BY doc_id, l),
+        lagg AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_lines,
+                 CAST(SUM(c * len) AS BIGINT) AS n_line_chars,
+                 CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_lines,
+                 CAST(SUM(CASE WHEN c >= 2 THEN c * len ELSE 0 END) AS BIGINT) AS dup_line_chars
+          FROM lc GROUP BY doc_id),
+        toks AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                     x -> length(x) > 0) AS w
+          FROM documents),
+        g2 AS (
+          SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+          FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                FROM toks WHERE len(w) >= 2)),
+        gc AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        gtop AS (
+          SELECT doc_id, CAST(MAX(c * length(g)) AS BIGINT) AS top2gram_chars
+          FROM gc GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(la.n_lines, 0) AS n_lines,
+               COALESCE(la.n_line_chars, 0) AS n_line_chars,
+               COALESCE(la.n_dup_lines, 0) AS n_dup_lines,
+               COALESCE(la.dup_line_chars, 0) AS dup_line_chars,
+               COALESCE(gt.top2gram_chars, 0) AS top2gram_chars
+        FROM documents d
+        LEFT JOIN lagg la USING (doc_id)
+        LEFT JOIN gtop gt USING (doc_id)""",
+    "decontaminate": r"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                     x -> length(x) > 0) AS w
+          FROM documents),
+        idx AS (
+          SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+          FROM toks WHERE len(w) >= 3),
+        grams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+            FROM idx
+            UNION ALL
+            SELECT doc_id, array_to_string(w, ' ') AS g
+            FROM toks WHERE len(w) < 3)),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        hits AS (
+          SELECT gr.doc_id, count(*) AS n_hits
+          FROM grams gr JOIN bench USING (g)
+          WHERE gr.doc_id % 97 <> 0
+          GROUP BY gr.doc_id)
+        SELECT d.doc_id,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 97 <> 0""",
     "quality_components": r"""
         SELECT doc_id,
                length(text) AS n_chars,
@@ -273,6 +386,9 @@ QUERIES_ML = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "repetition_stats": q_repetition_stats,
+    "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
