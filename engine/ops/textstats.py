@@ -395,3 +395,55 @@ class Fingerprinter:
             "n_fingerprints": pa.array(n_fp.astype(np.int64)),
             "min_fingerprint": pa.array(min_fp),
         })
+
+
+# ----------------------------------------------------- n-gram counting --
+
+def _bigram_partial(t: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch partial bigram counts (combiner): tokenize lower-cased
+    text on non-letter runs, join adjacent tokens with one vectorized
+    binary_join_element_wise, np.unique-count — so the groupby that
+    follows only moves (bigram, partial_count) rows, never token streams."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), "[^a-z]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # .values ignores slicing: clamp to this batch's token range and
+    # rebase the offsets so they index into `flat`
+    flat = toks.values.slice(offs[0], offs[-1] - offs[0])
+    offs = offs - offs[0]
+    n_flat = len(flat)
+    if n_flat < 2:
+        return pa.table({"bigram": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    # adjacency mask: pair (i, i+1) valid iff same doc and both non-empty
+    lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+    same_doc = np.ones(n_flat - 1, dtype=bool)
+    bnd = offs[1:-1] - 1  # last token of each doc pairs across docs
+    same_doc[bnd[bnd >= 0]] = False
+    ok = same_doc & (lens[:-1] > 0) & (lens[1:] > 0)
+    idx = np.flatnonzero(ok)
+    if idx.size == 0:
+        return pa.table({"bigram": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    lhs = flat.take(pa.array(idx))
+    rhs = flat.take(pa.array(idx + 1))
+    pairs = pc.binary_join_element_wise(lhs, rhs, " ")
+    grams, counts = np.unique(pairs.to_numpy(zero_copy_only=False), return_counts=True)
+    return pa.table({"bigram": pa.array(grams, type=pa.string()),
+                     "cnt": pa.array(counts.astype(np.int64))})
+
+
+def top_bigrams(ds, text_col: str = "text", k: int = 50):
+    """Global top-k word bigrams by count, ties broken by bigram asc —
+    partial counts inside map_batches, ONE small groupby-sum exchange,
+    then a driver-side top-k over the (distinct-bigram-sized) result."""
+    partial = ds.map_batches(lambda t: _bigram_partial(t, text_col),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    total = partial.groupby("bigram").sum("cnt")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["bigram", "cnt"])
+
+    total = total.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return total.sort(["cnt", "bigram"], descending=[True, False]).limit(k)

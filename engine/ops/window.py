@@ -101,6 +101,31 @@ def with_lag_lead(
     return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")
 
 
+def with_row_number(
+    ds,
+    entity: str,
+    ts: str = "ts",
+    tie_break: str | None = None,
+    out: str = "rn",
+    num_partitions: int | None = None,
+):
+    """1-based ROW_NUMBER() OVER (PARTITION BY entity ORDER BY ts,
+    tie_break) — deterministic when (ts, tie_break) is unique per entity,
+    exactly SQL's row_number, so it carries a value-exact DuckDB oracle
+    (engine/queries.py "event_ranks"). Same single entity-hash exchange
+    as every window op; numbering is the wkernel segments() position."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = _strip(t)
+        if t.num_rows == 0:
+            return _with_empty(t, [(out, pa.int64())])
+        t, _codes, _tsv, change = entity_sort(t, entity, ts, tie_break)
+        _starts, _ends, _seg, pos = segments(change)
+        return t.append_column(out, pa.array(pos + 1))
+
+    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")
+
+
 def rolling(
     ds,
     entity: str,

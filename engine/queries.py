@@ -102,6 +102,14 @@ def q_lag_lead(sf_dir):
     return out.select_columns(["event_id", "lag1_value", "lag2_value", "lead1_value"])
 
 
+def q_event_ranks(sf_dir):
+    from engine.ops.window import with_row_number
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = with_row_number(ev, entity="user_id", ts="ts", tie_break="event_id")
+    return out.select_columns(["event_id", "rn"])
+
+
 def q_rolling_24h(sf_dir):
     from engine.ops.window import rolling
 
@@ -613,6 +621,10 @@ ORACLE_SQL = {
         JOIN (SELECT * FROM events WHERE event_type='purchase') r
           ON l.user_id = r.user_id
          AND r.ts BETWEEN l.ts - INTERVAL 24 HOURS AND l.ts""",
+    "event_ranks": """
+        SELECT event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events""",
     "lag_lead": """
         SELECT event_id,
                LAG(value, 1) OVER w AS lag1_value,
@@ -825,6 +837,7 @@ QUERIES = {
     "asof_tolerance": q_asof_tolerance,
     "asof_broadcast": q_asof_broadcast,
     "range_join": q_range_join,
+    "event_ranks": q_event_ranks,
     "lag_lead": q_lag_lead,
     "rolling_24h": q_rolling_24h,
     "expanding": q_expanding,

@@ -54,6 +54,27 @@ def q_fingerprints(sf_dir):
     return docs.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 2))
 
 
+def q_pii_scrub(sf_dir):
+    from engine.ops.scrub import pii_scrub
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pii_scrub(docs)
+
+
+def q_chunk_documents(sf_dir):
+    from engine.ops.scrub import chunk_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(docs, size=512, overlap=64)
+
+
+def q_top_bigrams(sf_dir):
+    from engine.ops.textstats import top_bigrams
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return top_bigrams(docs, k=50)
+
+
 def q_repetition_stats(sf_dir):
     """Gopher-style repetition signals (dup-line mass, top-2-gram mass)
     as exact integers — value-exact vs the DuckDB oracle."""
@@ -247,7 +268,52 @@ _COS_DOT = (
     "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
 )
 
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE = r"\+?[0-9][0-9()\-. ]{6,}[0-9]"
+_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
 ORACLE_SQL_ML = {
+    # DuckDB regexp_* is RE2, the same engine behind Arrow's
+    # count_substring_regex / replace_substring_regex — identical match
+    # and GlobalReplace semantics, so this is value-exact. Counts are
+    # taken on the text AS IT STANDS when each pattern runs (emails
+    # redacted before phones), mirroring engine/ops/scrub.py SCRUB_STEPS.
+    "pii_scrub": f"""
+        WITH s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{_EMAIL}')) AS n_email,
+                 regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g') AS text
+          FROM documents),
+        s2 AS (
+          SELECT doc_id, n_email,
+                 len(regexp_extract_all(text, '{_IPV4}')) AS n_ip,
+                 regexp_replace(text, '{_IPV4}', '<IP>', 'g') AS text
+          FROM s1)
+        SELECT doc_id,
+               regexp_replace(text, '{_PHONE}', '<PHONE>', 'g') AS text,
+               n_email, n_ip,
+               len(regexp_extract_all(text, '{_PHONE}')) AS n_phone
+        FROM s2""",
+    "chunk_documents": """
+        SELECT doc_id,
+               i AS chunk_idx,
+               substr(text, 1 + i * 448, 512) AS chunk_text,
+               length(substr(text, 1 + i * 448, 512)) AS n_chunk_chars
+        FROM (SELECT doc_id, text,
+                     unnest(range(0, 1 + CAST(ceil(greatest(length(text) - 512, 0) / 448.0) AS BIGINT))) AS i
+              FROM documents)""",
+    "top_bigrams": r"""
+        WITH toks AS (
+          SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             x -> length(x) > 0) AS w
+          FROM documents),
+        pairs AS (
+          SELECT w[i] || ' ' || w[i+1] AS bigram
+          FROM (SELECT w, unnest(range(1, len(w))) AS i
+                FROM toks WHERE len(w) >= 2))
+        SELECT bigram, count(*) AS cnt
+        FROM pairs GROUP BY bigram
+        ORDER BY cnt DESC, bigram LIMIT 50""",
     "ngram_jaccard_near_dup": r"""
         WITH toks AS (
           SELECT doc_id,
@@ -387,6 +453,9 @@ QUERIES_ML = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
+    "chunk_documents": q_chunk_documents,
+    "top_bigrams": q_top_bigrams,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "minhash_near_dup": q_minhash_near_dup,
