@@ -220,7 +220,9 @@ def run_queries(sf_dir: str) -> dict:
              # round-3 curation ops: filters + packing over documents
              "repetition_stats", "decontaminate", "pack_sequences",
              # full curation path (VERDICT r2 item 9): grouping + audio decode
-             "dup_groups", "multimodal_audio"]
+             "dup_groups", "multimodal_audio",
+             # round-3 additions: scrubbing, chunking, ranks, n-gram counts
+             "pii_scrub", "chunk_documents", "event_ranks", "top_bigrams"]
     out = {}
     for name in names:
         t0 = time.time()
