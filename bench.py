@@ -222,7 +222,9 @@ def run_queries(sf_dir: str) -> dict:
              # full curation path (VERDICT r2 item 9): grouping + audio decode
              "dup_groups", "multimodal_audio",
              # round-3 additions: scrubbing, chunking, ranks, n-gram counts
-             "pii_scrub", "chunk_documents", "event_ranks", "top_bigrams"]
+             "pii_scrub", "chunk_documents", "event_ranks", "top_bigrams",
+             # round-3 additions: splits, tf-idf, semantic dedup
+             "split_assign", "tfidf_top_terms", "semdedup"]
     out = {}
     for name in names:
         t0 = time.time()

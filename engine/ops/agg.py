@@ -330,3 +330,51 @@ def except_keys(left, right, on: str, right_on: str | None = None,
     r = right.select_columns([right_on or on])
     return anti_join(distinct_keys(left, on), r, on=on, right_on=right_on,
                      num_partitions=num_partitions)
+
+
+def split_assign(ds, key: str, fractions: dict[str, float], hash_fn: str = "splitmix64",
+                 out_col: str = "split"):
+    """Deterministic train/val/test assignment: each row gets the first
+    label whose cumulative fraction bound exceeds hash(key)/modulus.
+
+    Content-addressed (same key -> same split across runs, machines and
+    partition counts — the property a 100-TB training corpus needs so a
+    re-run or a late-arriving shard can never leak val rows into train).
+    Purely map-side: no shuffle, no state. Fractions must sum to 1.
+    SQL twin: CASE WHEN splitmix64(key) < t1 THEN ... (splitmix64_sql).
+    """
+    labels = list(fractions)
+    bounds = np.array(_split_bounds(fractions, _hash_modulus(hash_fn)), dtype=np.uint64)
+    dictionary = pa.array(labels, type=pa.string())
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = _hash_u64(t[key], hash_fn)
+        idx = np.searchsorted(bounds, h, side="right").astype(np.int32)
+        lab = pa.DictionaryArray.from_arrays(pa.array(idx), dictionary).cast(pa.string())
+        return t.append_column(out_col, lab)
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _split_bounds(fractions: dict[str, float], mod: int) -> list[int]:
+    """Interior cumulative bounds (len = n_labels - 1) as exact Python
+    ints; hash < bounds[i] -> labels[i], else the last label. The final
+    bound (= modulus) is implicit so nothing ever overflows uint64."""
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    cum, out = 0.0, []
+    for f in list(fractions.values())[:-1]:
+        cum += f
+        out.append(min(int(cum * mod), mod - 1))
+    return out
+
+
+def split_assign_sql(key_expr: str, fractions: dict[str, float]) -> str:
+    """DuckDB CASE expression mirroring split_assign(hash_fn='splitmix64')."""
+    labels = list(fractions)
+    bounds = _split_bounds(fractions, 18446744073709551616)
+    h = splitmix64_sql(key_expr)
+    clauses = " ".join(
+        f"WHEN {h} < CAST('{b}' AS UBIGINT) THEN '{labels[i]}'"
+        for i, b in enumerate(bounds))
+    return f"CASE {clauses} ELSE '{labels[-1]}' END"

@@ -898,3 +898,88 @@ def dup_groups_distributed(pairs, max_rounds: int = 25):
             break
         prev_ck = ck
     return labels.rename_columns({"label": "group_id"})
+
+
+# --------------------------------------------------------------- semdedup --
+
+def _sem_centroids(ds, n_clusters: int, id_col: str, emb_col: str,
+                   sample_frac: float, seed: int) -> np.ndarray:
+    """Deterministic k-means centroids: sample rows by splitmix64(id) <
+    frac·2^64 (content-addressed — identical across partitionings and
+    cluster sizes, unlike ``Dataset.random_sample`` whose draw depends
+    on the physical plan), then seeded init + one Lloyd step.  The
+    sample is tiny (frac·n rows) so the driver-side pull is bounded."""
+    from engine.ops.agg import deterministic_sample
+
+    samp = (deterministic_sample(ds.select_columns([id_col, emb_col]),
+                                 id_col, sample_frac, hash_fn="splitmix64")
+            .to_pandas().sort_values(id_col))
+    m = np.stack(samp[emb_col].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    init = m[rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)]
+    assign = np.argmax(m @ init.T, axis=1)
+    cents = np.stack([
+        m[assign == c].mean(axis=0) if (assign == c).any() else init[c]
+        for c in range(len(init))])
+    return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+
+def semdedup_prune(group: pa.Table, threshold: float, id_col: str,
+                   emb_col: str) -> pa.Table:
+    """Greedy within-cluster pruning (the SemDeDup inner loop): walk the
+    cluster in id order; keep a vector iff its max cosine against every
+    ALREADY-KEPT vector is < threshold.  One BLAS gemv per row against
+    the kept prefix — O(c·kept·d) per cluster of size c; clusters are
+    balanced by k-means so no cluster approaches corpus size (cap via
+    n_clusters ∝ corpus size at scale)."""
+    ids = group[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    m = _emb_matrix(group, emb_col)[order]
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    n = len(ids)
+    kept_rows = np.empty(n, dtype=np.int64)
+    nn_sim = np.zeros(n, dtype=np.float64)
+    keep = np.zeros(n, dtype=bool)
+    nk = 0
+    for i in range(n):
+        if nk:
+            s = float(np.max(m[kept_rows[:nk]] @ m[i]))
+            nn_sim[i] = s
+            if s >= threshold:
+                continue
+        keep[i] = True
+        kept_rows[nk] = i
+        nk += 1
+    out = group.take(pa.array(order))
+    return (out.append_column("kept", pa.array(keep))
+               .append_column("nn_sim", pa.array(nn_sim)))
+
+
+def semdedup(ds, threshold: float = 0.85, n_clusters: int = 16,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             sample_frac: float = 0.2, seed: int = 42):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster normalized
+    embeddings with deterministic k-means, then greedily drop members
+    whose cosine similarity to an earlier-kept member of the SAME
+    cluster exceeds ``threshold``.  Shape: one broadcast centroid-assign
+    map pass + ONE cluster-keyed groupby().map_groups — the only
+    exchange.  Returns every row tagged (centroid_id, kept, nn_sim);
+    filter kept to materialize the survivors.  Pytest oracle: a
+    sequential NumPy twin in tests/test_semdedup.py."""
+    import ray
+
+    cents = _sem_centroids(ds, n_clusters, id_col, emb_col, sample_frac, seed)
+    ref = ray.put(cents)
+
+    def tag(t: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        mm = _emb_matrix(t, emb_col)
+        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
+        cid = np.argmax(mm @ cm.T, axis=1).astype(np.int32)
+        return t.append_column("centroid_id", pa.array(cid))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("centroid_id").map_groups(
+        lambda g: semdedup_prune(g, threshold, id_col, emb_col),
+        batch_format="pyarrow")

@@ -447,3 +447,116 @@ def top_bigrams(ds, text_col: str = "text", k: int = 50):
 
     total = total.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
     return total.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
+
+
+# ------------------------------------------------------------ tf-idf --
+
+def _doc_term_codes(t: pa.Table, id_col: str, text_col: str):
+    """Tokenize a batch and return per-(doc, term) distinct counts,
+    fully vectorized: split on non-letter runs, per-batch
+    dictionary-encode the token stream, collapse (doc_idx, code) pairs
+    with one np.unique.  Returns (u_doc, u_code, tf, dictionary) or
+    None for a token-free batch.  Rows come out sorted by (doc, code),
+    so each document's terms are contiguous."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), "[^a-z]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values.slice(offs[0], offs[-1] - offs[0])
+    offs = offs - offs[0]
+    if len(flat) == 0:
+        return None
+    doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(offs))
+    keep = pc.binary_length(flat).to_numpy(zero_copy_only=False) > 0
+    if not keep.any():
+        return None
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+    doc_idx = doc_idx[keep]
+    nd = len(enc.dictionary)
+    ukey, tf = np.unique(doc_idx * nd + codes, return_counts=True)
+    return ukey // nd, ukey % nd, tf.astype(np.int64), enc.dictionary
+
+
+def _df_partial(t: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch partial document frequencies (combiner): the count of
+    batch documents containing each term — so the vocab groupby that
+    follows moves (term, partial_df) rows, never the token stream."""
+    empty = pa.table({"term": pa.array([], type=pa.string()),
+                      "df": pa.array([], type=pa.int64())})
+    got = _doc_term_codes(t, "", text_col)
+    if got is None:
+        return empty
+    _, u_code, _, dictionary = got
+    codes, dfs = np.unique(u_code, return_counts=True)
+    return pa.table({"term": dictionary.take(pa.array(codes)),
+                     "df": pa.array(dfs.astype(np.int64))})
+
+
+def tfidf_top_terms(ds, k: int = 5, id_col: str = "doc_id", text_col: str = "text",
+                    n_docs: int | None = None, max_vocab: int = 20_000_000):
+    """Per-document top-k terms by TF-IDF, 100-TB shape:
+
+    - pass 1: map-side partial document frequencies + ONE vocab-sized
+      groupby-sum -> the (term, df) map, broadcast once via ``ray.put``
+      (for vocabularies beyond driver memory the alternative is a
+      term-keyed join; at web scale a [a-z]+ vocabulary stays ~1e7).
+    - pass 2: re-scan the corpus, score tf·ln((N+1)/(df+1)) per
+      (doc, term), pick top-k inside the batch (documents never span
+      batches) — no doc×term shuffle anywhere.
+
+    The score is quantized to int64 ``floor(score·1e6)`` because numpy
+    log and DuckDB ln differ in the final ulp (measured ~25% of values
+    on this host); ranking and the hash-compared output use only exact
+    integers.  Ties at equal score break by term ascending (code-point
+    order == UTF-8 byte order, and terms are [a-z]+ anyway).
+    Oracle: queries_ml._TFIDF_ORACLE (value-exact)."""
+    import ray
+
+    if n_docs is None:
+        n_docs = ds.count()
+    df_tbl = (ds.map_batches(lambda t: _df_partial(t, text_col),
+                             batch_format="pyarrow", zero_copy_batch=True)
+                .groupby("term").sum("df"))
+    df_pd = df_tbl.to_pandas()
+    if len(df_pd) > max_vocab:
+        raise ValueError(
+            f"vocabulary of {len(df_pd)} terms exceeds max_vocab={max_vocab} "
+            f"for the driver-side broadcast; raise max_vocab or add a min-df "
+            f"floor (rare terms score high but a df=1 long tail dominates "
+            f"vocab size at corpus scale)")
+    df_map = dict(zip(df_pd.iloc[:, 0], df_pd.iloc[:, 1].astype(np.int64)))
+    ref = ray.put(df_map)
+    logn = np.float64(n_docs) + 1.0
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64()),
+        ("df", pa.int64()), ("score_q", pa.int64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        got = _doc_term_codes(t, id_col, text_col)
+        if got is None:
+            return pa.table({f.name: pa.array([], type=f.type) for f in out_schema},
+                            schema=out_schema)
+        u_doc, u_code, tf, dictionary = got
+        dfm = ray.get(ref)
+        # df lookup + sort-rank once per UNIQUE term in the batch
+        terms_py = dictionary.to_pylist()
+        udf = np.array([dfm.get(term, 0) for term in terms_py], dtype=np.int64)
+        term_rank = np.empty(len(terms_py), dtype=np.int64)
+        term_rank[np.argsort(np.array(terms_py, dtype=object))] = np.arange(len(terms_py))
+        dfv = udf[u_code]
+        score_q = np.floor(tf * np.log(logn / (dfv + 1.0)) * 1e6).astype(np.int64)
+        order = np.lexsort((term_rank[u_code], -score_q, u_doc))
+        sd = u_doc[order]
+        # rank within each contiguous doc run; keep rank < k
+        starts = np.flatnonzero(np.r_[True, sd[1:] != sd[:-1]])
+        rank = np.arange(sd.size) - np.repeat(starts, np.diff(np.r_[starts, sd.size]))
+        sel = order[rank < k]
+        doc_ids = t[id_col].combine_chunks().take(pa.array(u_doc[sel]))
+        return pa.table({
+            "doc_id": doc_ids, "term": dictionary.take(pa.array(u_code[sel])),
+            "tf": pa.array(tf[sel]), "df": pa.array(dfv[sel]),
+            "score_q": pa.array(score_q[sel])}, schema=out_schema)
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -125,6 +125,31 @@ def q_pack_sequences(sf_dir):
                           num_partitions=16)
 
 
+def q_split_assign(sf_dir):
+    """Deterministic hash train/val/test split: splitmix64(doc_id)
+    against cumulative fraction thresholds — content-addressed, so the
+    assignment is identical across runs, partitionings and cluster
+    sizes (the anti-leakage property a training corpus needs).
+    Value-exact vs the DuckDB CASE twin (split_assign_sql)."""
+    from engine.ops.agg import split_assign
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return split_assign(docs, "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+def q_tfidf_top_terms(sf_dir):
+    """Per-document top-5 TF-IDF terms: two passes over the corpus (one
+    for document frequencies -> ONE vocab-sized groupby-sum, one for
+    scoring with the df map broadcast via ray.put) — no doc×term
+    shuffle.  The score is quantized to an int64 (floor(score·1e6)) on
+    both sides because numpy log and DuckDB ln differ in the last ulp."""
+    from engine.ops.textstats import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, k=5)
+
+
 # ---------------------------------------------------------------- dedup --
 
 def q_minhash_near_dup(sf_dir):
@@ -173,6 +198,19 @@ def q_embedding_near_dup_lsh(sf_dir):
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return embedding_near_dup_lsh(emb, threshold=0.4)
+
+
+def q_semdedup(sf_dir):
+    """SemDeDup (Abbas et al. 2023): deterministic k-means clustering of
+    normalized embeddings, then greedy within-cluster cosine pruning in
+    vec_id order.  Greedy order-dependence isn't SQL-expressible, so
+    this is rows-only; the exact semantics are pytest-oracled against a
+    sequential NumPy implementation in tests/test_semdedup.py."""
+    from engine.ops.neardup import semdedup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = semdedup(emb, threshold=0.7, n_clusters=8).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def q_dup_groups(sf_dir):
@@ -272,7 +310,40 @@ _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE = r"\+?[0-9][0-9()\-. ]{6,}[0-9]"
 _IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
+def _split_assign_oracle() -> str:
+    from engine.ops.agg import split_assign_sql
+
+    case = split_assign_sql("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+_TFIDF_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> length(x) > 0) AS w
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+      GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(floor(tf * ln((n + 1.0) / (df + 1.0)) * 1000000) AS BIGINT)
+               AS score_q
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_q DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, tf, df, score_q FROM ranked WHERE rk <= 5
+"""
+
 ORACLE_SQL_ML = {
+    "split_assign": _split_assign_oracle(),
+    "tfidf_top_terms": _TFIDF_ORACLE,
     # DuckDB regexp_* is RE2, the same engine behind Arrow's
     # count_substring_regex / replace_substring_regex — identical match
     # and GlobalReplace semantics, so this is value-exact. Counts are
@@ -458,6 +529,9 @@ QUERIES_ML = {
     "top_bigrams": q_top_bigrams,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
+    "split_assign": q_split_assign,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "semdedup": q_semdedup,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
