@@ -560,3 +560,60 @@ def tfidf_top_terms(ds, k: int = 5, id_col: str = "doc_id", text_col: str = "tex
             "score_q": pa.array(score_q[sel])}, schema=out_schema)
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _tf_rows(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(doc_id, term, tf) rows for a batch — the map-side input of the
+    join-based tf-idf path."""
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "term": pa.array([], type=pa.string()),
+                      "tf": pa.array([], type=pa.int64())})
+    got = _doc_term_codes(t, id_col, text_col)
+    if got is None:
+        return empty
+    u_doc, u_code, tf, dictionary = got
+    return pa.table({
+        "doc_id": t[id_col].combine_chunks().take(pa.array(u_doc)),
+        "term": dictionary.take(pa.array(u_code)),
+        "tf": pa.array(tf)})
+
+
+def tfidf_top_terms_join(ds, k: int = 5, id_col: str = "doc_id",
+                         text_col: str = "text", n_docs: int | None = None,
+                         num_partitions: int | None = None):
+    """Join-based tf-idf scale path for vocabularies too large to
+    broadcast: (doc, term, tf) rows join the (term, df) aggregate on a
+    term-keyed exchange, scores are computed map-side post-join, and the
+    per-doc top-k finishes with the two-level ``grouped_topk`` (local
+    in-batch top-k shrinks the doc-keyed exchange to ≤k rows per doc per
+    block).  Two shuffles of the doc×term table vs the broadcast path's
+    zero — use ``tfidf_top_terms`` until the vocab outgrows worker
+    memory.  Output-identical to the broadcast path (parity-tested in
+    tests/test_tfidf_split.py)."""
+    from engine.ops.agg import grouped_topk
+    from engine.ops.join import equi_join
+
+    if n_docs is None:
+        n_docs = ds.count()
+    logn = np.float64(n_docs) + 1.0
+    tf_rows = ds.map_batches(lambda t: _tf_rows(t, id_col, text_col),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    df_tbl = (ds.map_batches(lambda t: _df_partial(t, text_col),
+                             batch_format="pyarrow", zero_copy_batch=True)
+                .groupby("term").sum("df")
+                .map_batches(lambda t: t.rename_columns(["term", "df"]),
+                             batch_format="pyarrow", zero_copy_batch=True))
+    joined = equi_join(tf_rows, df_tbl, on="term",
+                       num_partitions=num_partitions)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("score_q", pa.array([], type=pa.int64()))
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        dfv = t["df"].to_numpy(zero_copy_only=False)
+        sq = np.floor(tf * np.log(logn / (dfv + 1.0)) * 1e6).astype(np.int64)
+        return t.append_column("score_q", pa.array(sq))
+
+    scored = joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_topk(scored, id_col, "score_q", k, descending=True, tie_break="term")
+    return out.select_columns(["doc_id", "term", "tf", "df", "score_q"])

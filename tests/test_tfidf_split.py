@@ -78,3 +78,17 @@ def test_tfidf_partition_invariant(ray_session):
         outs.append(tfidf_top_terms(ds, k=5).to_pandas()
                     .sort_values(["doc_id", "term"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_tfidf_join_path_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from engine.ops.textstats import tfidf_top_terms, tfidf_top_terms_join
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    key = ["doc_id", "term"]
+    a = (tfidf_top_terms(ds, k=5).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (tfidf_top_terms_join(ds, k=5).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
