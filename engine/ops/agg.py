@@ -378,3 +378,47 @@ def split_assign_sql(key_expr: str, fractions: dict[str, float]) -> str:
         f"WHEN {h} < CAST('{b}' AS UBIGINT) THEN '{labels[i]}'"
         for i, b in enumerate(bounds))
     return f"CASE {clauses} ELSE '{labels[-1]}' END"
+
+
+def weighted_sample(ds, k: int, key: str, weight_col: str,
+                    hash_fn: str = "splitmix64"):
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis A-Res, log-key form; cf. "Streaming Weighted Sampling over
+    Join Queries", EDBT 2023): rank key = ln(u)/w with u derived from
+    hash(key) — content-addressed, so the same k rows win on every run,
+    partitioning and cluster size.  Fully streaming: each batch keeps
+    its local top-k (O(batch) argpartition), the global finish sorts
+    <= k rows per block.  Rows with weight <= 0 are excluded (their
+    inclusion probability is 0).  Output is the winning rows' exact
+    columns (no float key), so the DuckDB twin (weighted_sample_sql) is
+    value-exact; the float ranking only decides SELECTION, where a
+    last-ulp libm difference would need two keys within ~1e-16 of each
+    other at the k boundary to flip."""
+    mod = float(_hash_modulus(hash_fn))
+
+    def local(t: pa.Table) -> pa.Table:
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = _hash_u64(t[key], hash_fn).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wk = np.log((h + 0.5) / mod) / w
+        wk = np.where(w > 0, wk, -np.inf)
+        keep = np.flatnonzero(wk > -np.inf)
+        if keep.size > k:
+            keep = keep[np.argpartition(wk[keep], -k)[-k:]]
+        out = t.take(pa.array(keep))
+        return out.append_column("__wkey", pa.array(wk[keep]))
+
+    pre = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    top = pre.sort(["__wkey", key], descending=[True, False]).limit(k)
+    return top.drop_columns(["__wkey"])
+
+
+def weighted_sample_sql(table: str, k: int, key: str, weight_col: str,
+                        cols: str = "*") -> str:
+    """DuckDB twin of weighted_sample(hash_fn='splitmix64')."""
+    h = splitmix64_sql(key)
+    return (
+        f"SELECT {cols} FROM ("
+        f"SELECT *, ln((CAST({h} AS DOUBLE) + 0.5) / 18446744073709551616.0)"
+        f" / {weight_col} AS wk FROM {table} WHERE {weight_col} > 0 "
+        f"ORDER BY wk DESC, {key} LIMIT {k})")

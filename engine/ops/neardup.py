@@ -938,18 +938,18 @@ def semdedup_prune(group: pa.Table, threshold: float, id_col: str,
     m = _emb_matrix(group, emb_col)[order]
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     n = len(ids)
-    kept_rows = np.empty(n, dtype=np.int64)
-    nn_sim = np.zeros(n, dtype=np.float64)
-    keep = np.zeros(n, dtype=bool)
+    kept_buf = np.empty_like(m)  # kept vectors packed contiguously: the
+    nn_sim = np.zeros(n, dtype=np.float64)  # per-row gemv runs on a VIEW,
+    keep = np.zeros(n, dtype=bool)          # no fancy-index copy per row
     nk = 0
     for i in range(n):
         if nk:
-            s = float(np.max(m[kept_rows[:nk]] @ m[i]))
+            s = float(np.max(kept_buf[:nk] @ m[i]))
             nn_sim[i] = s
             if s >= threshold:
                 continue
         keep[i] = True
-        kept_rows[nk] = i
+        kept_buf[nk] = m[i]
         nk += 1
     out = group.take(pa.array(order))
     return (out.append_column("kept", pa.array(keep))

@@ -58,6 +58,15 @@ def pack_sequences(ds, max_tokens: int, id_col: str = "doc_id",
         return t.append_column(_PKEY, pa.array(h.astype(np.int64)))
 
     def pack_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty exchange partition (sort-based groupby)
+            return pa.table({
+                id_col: t[id_col] if id_col in t.schema.names
+                else pa.chunked_array([], type=pa.int64()),
+                "seq_id": pa.chunked_array([], type=pa.int64()),
+                "seq_pos": pa.chunked_array([], type=pa.int64()),
+                "n_tokens": pa.chunked_array([], type=pa.int64()),
+                "truncated": pa.chunked_array([], type=pa.bool_()),
+            })
         idx = pa.compute.sort_indices(t, sort_keys=[(id_col, "ascending")])
         t = t.take(idx)
         toks = np.clip(t[tok_col].to_numpy(zero_copy_only=False).astype(np.int64), 0, None)

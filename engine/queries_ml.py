@@ -138,6 +138,16 @@ def q_split_assign(sf_dir):
                         {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def q_weighted_sample(sf_dir):
+    """Efraimidis–Spirakis deterministic weighted sample (25 docs,
+    weight = n_chars): content-addressed rank keys, streaming local
+    top-k, value-exact vs the DuckDB ORDER BY ln(u)/w twin."""
+    from engine.ops.agg import weighted_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return weighted_sample(docs, k=25, key="doc_id", weight_col="n_chars")
+
+
 def q_tfidf_top_terms(sf_dir):
     """Per-document top-5 TF-IDF terms: two passes over the corpus (one
     for document frequencies -> ONE vocab-sized groupby-sum, one for
@@ -341,9 +351,17 @@ _TFIDF_ORACLE = """
     SELECT doc_id, term, tf, df, score_q FROM ranked WHERE rk <= 5
 """
 
+def _weighted_sample_oracle() -> str:
+    from engine.ops.agg import weighted_sample_sql
+
+    return weighted_sample_sql("documents", 25, "doc_id", "n_chars",
+                               cols="doc_id, n_chars")
+
+
 ORACLE_SQL_ML = {
     "split_assign": _split_assign_oracle(),
     "tfidf_top_terms": _TFIDF_ORACLE,
+    "weighted_sample": _weighted_sample_oracle(),
     # DuckDB regexp_* is RE2, the same engine behind Arrow's
     # count_substring_regex / replace_substring_regex — identical match
     # and GlobalReplace semantics, so this is value-exact. Counts are
@@ -532,6 +550,7 @@ QUERIES_ML = {
     "split_assign": q_split_assign,
     "tfidf_top_terms": q_tfidf_top_terms,
     "semdedup": q_semdedup,
+    "weighted_sample": q_weighted_sample,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,

@@ -92,3 +92,36 @@ def test_tfidf_join_path_matches_broadcast(ray_session):
     b = (tfidf_top_terms_join(ds, k=5).to_pandas()
          .sort_values(key).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_weighted_sample_matches_sql(ray_session, con):
+    from engine.queries_ml import ORACLE_SQL_ML, q_weighted_sample
+
+    got = (q_weighted_sample(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = (con.execute(ORACLE_SQL_ML["weighted_sample"]).fetchdf()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["doc_id", "n_chars"]],
+                                  exp[["doc_id", "n_chars"]],
+                                  check_dtype=False)
+
+
+def test_weighted_sample_partition_invariant_and_biased(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from engine.ops.agg import weighted_sample
+
+    outs = []
+    for p in (1, 7):
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "n_chars"]).repartition(p)
+        outs.append(weighted_sample(ds, k=50, key="doc_id", weight_col="n_chars")
+                    .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # weighting bias: sampled docs skew longer than the corpus mean
+    import pyarrow.parquet as pq
+
+    corpus_mean = pq.read_table(f"{SF}/documents.parquet",
+                                columns=["n_chars"])["n_chars"].to_numpy().mean()
+    assert outs[0]["n_chars"].mean() > corpus_mean
