@@ -162,7 +162,11 @@ def run_headline(num_cpus: int) -> dict:
 
     st0, tt0 = _cpu_stat()
     t0 = time.time()
-    images = TableIO.read(img_uri)
+    # one read block per fragment: Ray's size estimator otherwise plans
+    # SplitBlocks(2), which BREAKS ReadParquet->featurize fusion and
+    # roundtrips the whole payload column through the object store
+    # (measured 11.3 -> 9.1 s for the featurize stage at 240k/32 CPUs)
+    images = TableIO.read(img_uri, override_num_blocks=4 * BENCH_PARTITIONS)
     # materialize the DESCRIPTORS (fixed-width rows, ~300B each — pixels
     # never leave the featurize stage): the cluster-stats aggregation and
     # the join both consume them, so without this the featurize actor pool

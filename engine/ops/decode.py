@@ -28,7 +28,7 @@ import pyarrow as pa
 from engine.fixtures import codecs
 from engine.ops import schema as S
 from engine.ops.caption import caption_features
-from engine.ops.phash import dct_matrix, phash_bucket, resize_gray_32
+from engine.ops.phash import area_resize_32, dct_matrix, gray_bt601, phash_bucket
 from engine.ops.stats import image_stats
 
 
@@ -51,8 +51,9 @@ class FeaturizeActor:
         buf = raw.combine_chunks() if isinstance(raw, pa.ChunkedArray) else raw
         for i in range(n):
             px = self.decoders[fmts[i]](buf[i].as_py(), int(ws[i]), int(hs[i]))
-            g32[i] = resize_gray_32(px)
-            stat_rows.append(image_stats(px))
+            gray = gray_bt601(px)  # ONE BT.601 plane shared by phash
+            g32[i] = area_resize_32(gray)  # resize and the entropy stat
+            stat_rows.append(image_stats(px, gray=gray))
 
         # batched 2-D DCT: D @ G @ D.T for the whole batch in one einsum
         f = np.einsum("ij,bjk,lk->bil", self.dct, g32, self.dct, optimize=True)

@@ -58,8 +58,11 @@ def area_resize_32(gray: np.ndarray, n: int = 32) -> np.ndarray:
 
 
 def gray_bt601(rgb: np.ndarray) -> np.ndarray:
-    f = rgb.astype(np.float64)
-    return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    # elementwise uint8 -> float64 promotion: same bits as the old
+    # rgb.astype(float64) path but WITHOUT materializing a 3-channel
+    # float64 copy of the image first (the featurize stage is memory-
+    # bandwidth-bound in situ: 32 workers share one bus)
+    return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
 
 
 def phash_pixels(rgb: np.ndarray) -> int:

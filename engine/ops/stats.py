@@ -23,7 +23,7 @@ _V = np.arange(256, dtype=np.int64)
 _V2 = _V * _V
 
 
-def image_stats(pixels: np.ndarray) -> dict:
+def image_stats(pixels: np.ndarray, gray: np.ndarray | None = None) -> dict:
     # Channel moments from 256-bin histograms: one O(n) bincount per
     # channel replaces the float64 full-image mean+std passes (2.5x
     # featurize-stage speedup measured at the 'large' bench profile).
@@ -44,9 +44,18 @@ def image_stats(pixels: np.ndarray) -> dict:
         q = int(np.dot(hist, _V2))
         mean[c] = s / n
         std[c] = math.sqrt((n * q - s * s) / (n * n))
-    luma = np.clip(
-        np.round(0.299 * flat[:, 0] + 0.587 * flat[:, 1] + 0.114 * flat[:, 2]), 0, 255
-    ).astype(np.uint8)
+    if gray is None:
+        gray = 0.299 * flat[:, 0] + 0.587 * flat[:, 1] + 0.114 * flat[:, 2]
+    else:
+        # caller hands over the float64 BT.601 plane it already computed
+        # for the phash resize — IDENTICAL bits to the expression above
+        # (same weights, same add order, same float64 promotion), so the
+        # entropy is unchanged; gray is CONSUMED (rounded in place) to
+        # avoid two more full-image float temps
+        gray = gray.reshape(-1)
+    np.rint(gray, out=gray)
+    np.clip(gray, 0, 255, out=gray)
+    luma = gray.astype(np.uint8)
     counts = np.bincount(luma, minlength=256)
     p = counts[counts > 0] / n
     entropy = float(-(p * np.log2(p)).sum())
