@@ -36,8 +36,12 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + encode_raw(pixels)
 
 
-def decode_ppm(data: bytes, w: int | None = None, h: int | None = None) -> np.ndarray:
+def decode_ppm(data, w: int | None = None, h: int | None = None) -> np.ndarray:
     # Parse the three header tokens (magic, dims, maxval); '#' comments allowed.
+    # Accepts any bytes-like (featurize passes zero-copy memoryviews); the
+    # byte-wise header scan needs bytes methods, so copy just the header.
+    body = data
+    data = bytes(data[:256])
     if data[:2] != b"P6":
         raise ValueError("not a P6 ppm")
     pos, fields = 2, []
@@ -56,7 +60,7 @@ def decode_ppm(data: bytes, w: int | None = None, h: int | None = None) -> np.nd
     pw, ph, maxval = fields
     if maxval != 255:
         raise ValueError("only 8-bit ppm supported")
-    return decode_raw(data[pos : pos + pw * ph * 3], pw, ph)
+    return decode_raw(body[pos : pos + pw * ph * 3], pw, ph)
 
 
 # ---------------------------------------------------------------- png ----
@@ -84,17 +88,20 @@ def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def decode_png(data: bytes, w: int | None = None, h: int | None = None) -> np.ndarray:
-    if data[:8] != _PNG_SIG:
+def decode_png(data, w: int | None = None, h: int | None = None) -> np.ndarray:
+    # Accepts any bytes-like (featurize passes zero-copy memoryviews).
+    # Small header/tag reads go through bytes() — memoryview equality
+    # with bytes is format-sensitive — while IDAT bodies stay views.
+    if bytes(data[:8]) != _PNG_SIG:
         raise ValueError("bad png signature")
     pos, idat, ihdr = 8, [], None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
+        tag = bytes(data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
+            ihdr = struct.unpack(">IIBBBBB", bytes(body))
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -105,6 +112,10 @@ def decode_png(data: bytes, w: int | None = None, h: int | None = None) -> np.nd
     raw = zlib.decompress(b"".join(idat))
     stride = pw * 3
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(ph, 1 + stride)
+    if not rows[:, 0].any():  # filter 0 on every scanline (what
+        # encode_png writes): copy the whole plane in one slice, no
+        # per-row loop in the featurize hot path
+        return np.ascontiguousarray(rows[:, 1:]).reshape(ph, pw, 3)
     out = np.zeros((ph, stride), dtype=np.uint8)
     bpp = 3
     for y in range(ph):

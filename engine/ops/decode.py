@@ -50,7 +50,10 @@ class FeaturizeActor:
         stat_rows = []
         buf = raw.combine_chunks() if isinstance(raw, pa.ChunkedArray) else raw
         for i in range(n):
-            px = self.decoders[fmts[i]](buf[i].as_py(), int(ws[i]), int(hs[i]))
+            # zero-copy: a memoryview over the arrow buffer slice instead
+            # of materializing a Python bytes copy of every payload
+            data = memoryview(buf[i].as_buffer())
+            px = self.decoders[fmts[i]](data, int(ws[i]), int(hs[i]))
             gray = gray_bt601(px)  # ONE BT.601 plane shared by phash
             g32[i] = area_resize_32(gray)  # resize and the entropy stat
             stat_rows.append(image_stats(px, gray=gray))
