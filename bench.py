@@ -227,8 +227,8 @@ def run_queries(sf_dir: str) -> dict:
              "dup_groups", "multimodal_audio",
              # round-3 additions: scrubbing, chunking, ranks, n-gram counts
              "pii_scrub", "chunk_documents", "event_ranks", "top_bigrams",
-             # round-3 additions: splits, tf-idf, semantic dedup
-             "split_assign", "tfidf_top_terms", "semdedup"]
+             # round-3 additions: splits, tf-idf, semantic dedup, weighted sample
+             "split_assign", "tfidf_top_terms", "semdedup", "weighted_sample"]
     out = {}
     for name in names:
         t0 = time.time()
