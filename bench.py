@@ -43,6 +43,12 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # partition count computed for the FULL cluster (32 CPUs) and held fixed
 # across scaling levels, per the scaling-run discipline in BASELINE.md
 BENCH_PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "48"))
+# partitions of the fused as-of+window exchange. Measured A/B in a
+# clean-steal window at 1.44M/32 CPUs: P=48 sink 14.2 s vs P=96 21.9 s —
+# more partitions add exchange overhead (sampling, 2x reduce fetches)
+# faster than they relieve the ~150k-rows-per-group serial merges, so
+# the coalesce partition count stays the default.
+SINK_PARTITIONS = int(os.environ.get("GRAFT_BENCH_SINK_PARTITIONS", str(BENCH_PARTITIONS)))
 
 
 def log(msg: str) -> None:
@@ -166,7 +172,8 @@ def run_headline(num_cpus: int) -> dict:
     # SplitBlocks(2), which BREAKS ReadParquet->featurize fusion and
     # roundtrips the whole payload column through the object store
     # (measured 11.3 -> 9.1 s for the featurize stage at 240k/32 CPUs)
-    images = TableIO.read(img_uri, override_num_blocks=4 * BENCH_PARTITIONS)
+    nfrags = len(TableIO.manifest(img_uri)["fragments"])
+    images = TableIO.read(img_uri, override_num_blocks=nfrags)
     # materialize the DESCRIPTORS (fixed-width rows, ~300B each — pixels
     # never leave the featurize stage): the cluster-stats aggregation and
     # the join both consume them, so without this the featurize actor pool
@@ -193,7 +200,7 @@ def run_headline(num_cpus: int) -> dict:
     obs = rd.read_parquet(obs_path)
     # fused: as-of attach + windowed features in ONE entity-hash shuffle
     out = asof_windowed(obs, fv, on="image_id", right_cols=["fv"], tie_break="seq",
-                        num_partitions=cfg.num_partitions)
+                        num_partitions=SINK_PARTITIONS)
     out.write_parquet(out_dir)
     wall = time.time() - t0
     st1, tt1 = _cpu_stat()

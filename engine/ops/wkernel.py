@@ -44,9 +44,21 @@ def ts_int64(t: pa.Table, ts: str) -> np.ndarray:
 def entity_sort(t: pa.Table, entity: str, ts: str, tie_break: str | None = None):
     """Sort by (entity, ts, tie_break) -> (t_sorted, codes, tsv, change)."""
     n = t.num_rows
-    ent = t[entity].to_numpy(zero_copy_only=False)
-    _, codes = np.unique(ent, return_inverse=True)
-    codes = codes.astype(np.int64)
+    ecol = t[entity]
+    if isinstance(ecol, pa.ChunkedArray):
+        ecol = ecol.combine_chunks()
+    if pa.types.is_string(ecol.type) or pa.types.is_large_string(ecol.type) \
+            or pa.types.is_binary(ecol.type):
+        # C hash-table coding: ~20x faster than np.unique's O(n log n)
+        # Python-string comparisons on 150k-row groups. Codes are
+        # first-appearance order, not alphabetical — irrelevant here,
+        # they only group rows (the lexsort below makes them contiguous).
+        codes = ecol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    else:
+        ent = ecol.to_numpy(zero_copy_only=False)
+        _, codes = np.unique(ent, return_inverse=True)
+        codes = codes.astype(np.int64)
     tsv = ts_int64(t, ts)
     tie = t[tie_break].to_numpy(zero_copy_only=False) if tie_break else np.arange(n)
     order = np.lexsort((tie, tsv, codes))
