@@ -39,23 +39,37 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
 def decode_ppm(data, w: int | None = None, h: int | None = None) -> np.ndarray:
     # Parse the three header tokens (magic, dims, maxval); '#' comments allowed.
     # Accepts any bytes-like (featurize passes zero-copy memoryviews); the
-    # byte-wise header scan needs bytes methods, so copy just the header.
+    # byte-wise header scan needs bytes methods, so copy just the header —
+    # growing the copied slice until all three fields parse, so a spec-valid
+    # comment block longer than the initial slice cannot truncate the header.
     body = data
-    data = bytes(data[:256])
-    if data[:2] != b"P6":
-        raise ValueError("not a P6 ppm")
-    pos, fields = 2, []
-    while len(fields) < 3:
-        while pos < len(data) and data[pos : pos + 1].isspace():
-            pos += 1
-        if data[pos : pos + 1] == b"#":
-            while data[pos : pos + 1] not in (b"\n", b""):
-                pos += 1
-            continue
-        start = pos
-        while pos < len(data) and not data[pos : pos + 1].isspace():
-            pos += 1
-        fields.append(int(data[start:pos]))
+    head = 256
+    while True:
+        data = bytes(body[:head])
+        if data[:2] != b"P6":
+            raise ValueError("not a P6 ppm")
+        try:
+            pos, fields = 2, []
+            while len(fields) < 3:
+                while pos < len(data) and data[pos : pos + 1].isspace():
+                    pos += 1
+                if data[pos : pos + 1] == b"#":
+                    while data[pos : pos + 1] not in (b"\n", b""):
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(data) and not data[pos : pos + 1].isspace():
+                    pos += 1
+                if start == pos:  # ran off the slice mid-header
+                    raise ValueError("truncated header slice")
+                fields.append(int(data[start:pos]))
+            if pos >= len(data):  # maxval may itself be cut at the boundary
+                raise ValueError("truncated header slice")
+            break
+        except ValueError:
+            if head >= len(body):
+                raise
+            head *= 4
     pos += 1  # single whitespace after maxval
     pw, ph, maxval = fields
     if maxval != 255:

@@ -177,19 +177,45 @@ def grouped_quantiles(ds, key, col: str, qs: tuple[float, ...] = (0.5,),
                 "column); sampling on the value column biases repeated values")
         ds = deterministic_sample(ds, sample_key, sample_frac, hash_fn=hash_fn)
 
-    def grp(df: pd.DataFrame) -> pd.DataFrame:
-        v = df[col].to_numpy(dtype=np.float64)
+    def grp(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
         v = v[~np.isnan(v)]
-        row = {k: [df[k].iloc[0]] for k in keys}
+        cols = {kk: t[kk].slice(0, 1) for kk in keys}
         for q in qs:
             val = float(np.quantile(v, q)) if len(v) else np.nan
             if round_digits is not None:
                 m = 10.0 ** round_digits
                 val = np.trunc(abs(val) * m + 0.5) / m * (1 if val >= 0 else -1)
-            row[f"p{int(q * 100):02d}_{col}"] = [val]
-        return pd.DataFrame(row)
+            cols[f"p{int(q * 100):02d}_{col}"] = pa.array([val], type=pa.float64())
+        return pa.table(cols)
 
-    return ds.groupby(keys).map_groups(grp, batch_format="pandas")
+    return ds.groupby(keys).map_groups(grp, batch_format="pyarrow")
+
+
+def _order_key(t: pa.Table, col: str, descending: bool) -> np.ndarray:
+    """Order-preserving lexsort key for one column: ``~x`` for descending
+    ints (exact, no overflow at int64 min), ``-x`` for descending floats."""
+    v = t[col].to_numpy(zero_copy_only=False)
+    if not descending:
+        return v
+    if np.issubdtype(v.dtype, np.integer):
+        return ~v
+    return -v.astype(np.float64, copy=False)
+
+
+def _group_codes(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Composite int64 group identity via Arrow dictionary_encode (one C
+    pass per key column — no Python-object hashing, any key dtype)."""
+    codes = None
+    for kcol in keys:
+        arr = t[kcol]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        enc = arr.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        card = np.int64(len(enc.dictionary))
+        codes = idx if codes is None else codes * card + idx
+    return codes
 
 
 def grouped_topk(ds, key, order_col: str, k: int, descending: bool = True,
@@ -199,21 +225,37 @@ def grouped_topk(ds, key, order_col: str, k: int, descending: bool = True,
     Two-level: each batch keeps its local per-group top-k inside
     map_batches (shrinks the exchange to <= k rows per group per block),
     then one groupby finishes the selection — the grouped analog of
-    sort().limit()."""
+    sort().limit(). Both levels are Arrow-native (dictionary-encoded
+    group codes + one lexsort + run ranks — no pandas round-trip)."""
     keys = [key] if isinstance(key, str) else list(key)
-    sort_cols = [order_col] + ([tie_break] if tie_break else [])
-    asc = [not descending] + ([True] if tie_break else [])
 
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.sort_values(sort_cols, ascending=asc, kind="stable")
-                .groupby(keys, sort=False).head(k))
+    def local(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t
+        sort_keys = [t[tie_break].to_numpy(zero_copy_only=False)] if tie_break else []
+        sort_keys.append(_order_key(t, order_col, descending))
+        g = _group_codes(t, keys)
+        order = np.lexsort((*sort_keys, g))
+        gs = g[order]
+        run_start = np.zeros(n, dtype=np.int64)
+        new = np.nonzero(np.concatenate([[True], gs[1:] != gs[:-1]]))[0]
+        run_start[new] = new
+        np.maximum.accumulate(run_start, out=run_start)
+        rank = np.arange(n, dtype=np.int64) - run_start
+        return t.take(pa.array(order[rank < k]))
 
-    pre = ds.map_batches(local, batch_format="pandas")
+    pre = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.sort_values(sort_cols, ascending=asc, kind="stable").head(k))
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        sort_keys = [t[tie_break].to_numpy(zero_copy_only=False)] if tie_break else []
+        sort_keys.append(_order_key(t, order_col, descending))
+        order = np.lexsort(tuple(sort_keys))[:k]
+        return t.take(pa.array(order))
 
-    return pre.groupby(keys).map_groups(final, batch_format="pandas")
+    return pre.groupby(keys).map_groups(final, batch_format="pyarrow")
 
 
 def pivot(ds, index: str, column: str, value: str, categories: list,
@@ -224,7 +266,12 @@ def pivot(ds, index: str, column: str, value: str, categories: list,
     unbounded pivot is a schema explosion, so the engine refuses to infer
     them). Per-batch partial pivot shrinks the exchange to
     O(|index| x |categories|) before one small groupby-sum; "mean" is
-    computed as sum/count after the final combine (exact)."""
+    computed as sum/count in a map stage after the combine (exact).
+
+    Returns a DATASET (one row per index value): |index| is unbounded
+    (a user-keyed pivot at 10^9 users), so nothing lands on the driver
+    heap — callers ``to_pandas()`` at the edge when the result is known
+    small."""
     from ray.data.aggregate import Sum
 
     if agg not in ("sum", "count", "mean"):
@@ -256,18 +303,23 @@ def pivot(ds, index: str, column: str, value: str, categories: list,
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(index)
         .aggregate(*aggs)
-        .to_pandas()
     )
-    out = pd.DataFrame({index: combined[index]})
-    for c in cats:
-        s, n = combined[f"__s_{c}"], combined[f"__n_{c}"]
-        if agg == "sum":
-            out[f"{pre}{c}"] = s
-        elif agg == "count":
-            out[f"{pre}{c}"] = n.astype("int64")
-        else:
-            out[f"{pre}{c}"] = s / n.where(n > 0)
-    return out
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {index: t[index]}
+        for c in cats:
+            s = t[f"__s_{c}"].to_numpy(zero_copy_only=False)
+            n = t[f"__n_{c}"].to_numpy(zero_copy_only=False)
+            if agg == "sum":
+                cols[f"{pre}{c}"] = pa.array(s)
+            elif agg == "count":
+                cols[f"{pre}{c}"] = pa.array(n.astype(np.int64))
+            else:
+                cols[f"{pre}{c}"] = pa.array(
+                    np.where(n > 0, s / np.where(n > 0, n, 1.0), np.nan))
+        return pa.table(cols)
+
+    return combined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def distinct_keys(ds, on: str):
@@ -404,7 +456,12 @@ def weighted_sample(ds, k: int, key: str, weight_col: str,
         wk = np.where(w > 0, wk, -np.inf)
         keep = np.flatnonzero(wk > -np.inf)
         if keep.size > k:
-            keep = keep[np.argpartition(wk[keep], -k)[-k:]]
+            # keep every row whose key TIES the k-th value (uint64->float64
+            # hash conversion can collapse keys): the global (wk DESC, key
+            # ASC) sort+limit breaks the tie deterministically — an
+            # argpartition cut alone could keep the wrong tied row
+            kth = np.partition(wk[keep], keep.size - k)[keep.size - k]
+            keep = keep[wk[keep] >= kth]
         out = t.take(pa.array(keep))
         return out.append_column("__wkey", pa.array(wk[keep]))
 

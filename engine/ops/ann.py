@@ -15,7 +15,6 @@ is tested against brute force.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from engine.ops.neardup import _emb_matrix
@@ -51,28 +50,46 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 5, id_col: str = "vec_id",
             "score": pa.array(np.round(np.take_along_axis(scores, order, axis=1).reshape(-1), 5)),
         })
 
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["score", id_col], ascending=[False, True], kind="stable")
-        return df.head(k)
-
     return (
         ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(lambda t: _final_topk(t, id_col, k), batch_format="pyarrow")
     )
+
+
+def _final_topk(t: pa.Table, id_col: str, k: int) -> pa.Table:
+    """Per-query finish: (-score, id) top-k, Arrow-native (no pandas
+    round-trip per group)."""
+    if t.num_rows == 0:
+        return t
+    sc = t["score"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sc))[:k]
+    return t.take(pa.array(order))
 
 
 # ------------------------------------------------------------------ IVF --
 
 def build_ivf(ds, n_centroids: int = 16, id_col: str = "vec_id", emb_col: str = "embedding",
-              sample_frac: float = 0.2, seed: int = 42):
+              sample_frac: float = 0.2, seed: int = 42,
+              max_sample_rows: int = 131_072):
     """-> (indexed Dataset with centroid_id column, centroids ndarray).
-    Centroids = k-means with one Lloyd step over a sample (deterministic
-    seed); assignment = one broadcast map pass."""
+    Centroids = k-means with one Lloyd step over a sample (content-
+    deterministic splitmix64(id) draw — identical across partitionings
+    and cluster sizes, unlike ``random_sample`` whose draw depends on
+    the physical plan; driver pull absolutely capped at
+    ``max_sample_rows``); assignment = one broadcast map pass."""
     import ray
 
-    samp = ds.random_sample(sample_frac, seed=seed).to_pandas()
-    m = _normalize(np.stack(samp[emb_col].to_numpy()).astype(np.float64))
+    from engine.ops.agg import deterministic_sample
+
+    cols = ds.select_columns([id_col, emb_col])
+    n_rows = cols.count()
+    frac = min(sample_frac, max_sample_rows / max(1, n_rows))
+    samp = deterministic_sample(cols, id_col, frac, hash_fn="splitmix64").to_pandas()
+    if len(samp) < max(n_centroids, 1):
+        samp = cols.limit(max_sample_rows).to_pandas()
+    m = _normalize(np.stack(samp.sort_values(id_col)[emb_col].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     init = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
     # one Lloyd refinement
@@ -139,11 +156,8 @@ def topk_cosine_ivf(indexed_ds, centroids: np.ndarray, queries: np.ndarray, k: i
             "score": pa.array(np.concatenate(out_s)),
         })
 
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
-
     return (
         filtered.map_batches(local_topk, batch_format="pyarrow")
         .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(lambda t: _final_topk(t, id_col, k), batch_format="pyarrow")
     )

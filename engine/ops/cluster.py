@@ -20,8 +20,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from engine.ops.phash import hamming
-
 CENTROID_DIMS = ["mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b", "entropy"]
 
 
@@ -115,47 +113,87 @@ def with_cluster_features(features, stats_df: pd.DataFrame | None = None):
     return features.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def refine_clusters(features, radius: int = 3, num_partitions: int | None = None):
+def refine_clusters(features, radius: int = 3, num_partitions: int | None = None,
+                    max_bucket: int = 1024):
     """C2: within each phash bucket, single-linkage components over
     Hamming(phash) <= radius. -> (image_id, phash_bucket, cluster_id).
     cluster_id = bucket * 2^32 + component index (ordered by min image_id
-    for determinism)."""
+    for determinism).
 
-    def refine(df: pd.DataFrame) -> pd.DataFrame:
-        ph = df["phash"].to_numpy()
-        n = len(df)
-        parent = np.arange(n)
+    Scale shape (round-4 rewrite): ONE hash-partition exchange co-locates
+    complete buckets (~CPU-count groups, not one map_groups UDF call per
+    bucket); each partition processes ALL its bucket runs in one
+    vectorized pass — global pair indices, per-pair XOR popcount (the
+    metric is computed on the PAIR LIST, never a (B,B) Hamming matrix),
+    and min-label propagation with pointer jumping instead of a per-pair
+    Python union-find loop. Buckets above ``max_bucket`` members emit a
+    STAR on the min-id member (same degenerate-bucket guard as the
+    near-dup family: a 10^5-member hot bucket costs 10^5 pairs, not
+    10^10 matrix cells); members within ``radius`` of the anchor still
+    join its component — recall of anchor-distant sub-clusters inside
+    oversized buckets is traded away, tested with a planted bucket."""
+    from engine.ops.neardup import _run_pair_indices
+    from engine.ops.partitioning import _cpus
 
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+    P = num_partitions or _cpus()
 
-        d = hamming(ph, ph)
-        ii, jj = np.nonzero(d <= radius)
-        for a, b in zip(ii, jj):
-            if a < b:
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    parent[rb] = ra
-        roots = np.array([find(i) for i in range(n)])
-        # deterministic component ids: order components by min image_id
-        ids = df["image_id"].to_numpy()
-        comp_min = {}
-        for i, r in enumerate(roots):
-            if r not in comp_min or ids[i] < comp_min[r]:
-                comp_min[r] = ids[i]
-        ordered = {r: k for k, r in enumerate(sorted(comp_min, key=lambda r: comp_min[r]))}
-        bucket = int(df["phash_bucket"].iloc[0])
-        return pd.DataFrame({
-            "image_id": ids,
-            "phash_bucket": df["phash_bucket"].to_numpy(),
-            "cluster_id": np.int64(bucket) * (1 << 32) + np.array([ordered[r] for r in roots], dtype=np.int64),
-        })
+    def add_pkey(t: pa.Table) -> pa.Table:
+        b = t["phash_bucket"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        pk = ((b * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(P)
+        return t.append_column("__bpart", pa.array(pk.astype(np.int32)))
+
+    def refine(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bpart"])
+        n = t.num_rows
+        if n == 0:
+            return t.select(["image_id", "phash_bucket"]).append_column(
+                "cluster_id", pa.array([], type=pa.int64()))
+        b = t["phash_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["image_id"].to_numpy(zero_copy_only=False)
+        ph = t["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((ids, b))
+        b, ph = b[order], ph[order]
+        starts = np.nonzero(np.concatenate([[True], b[1:] != b[:-1]]))[0]
+        sizes = np.diff(np.append(starts, n)).astype(np.int64)
+        ii, jj = _run_pair_indices(starts, sizes, max_bucket)
+        if ii.size:
+            x = ph[ii] ^ ph[jj]
+            ham = np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1)
+            ok = ham <= radius
+            ii, jj = ii[ok], jj[ok]
+        # connected components: min-label propagation + pointer jumping
+        # (labels start as the global row index; runs are disjoint so no
+        # cross-bucket merging is possible). Converges in O(log diameter)
+        # numpy passes — no per-pair Python.
+        labels = np.arange(n, dtype=np.int64)
+        while ii.size:
+            l2 = labels.copy()
+            np.minimum.at(l2, jj, labels[ii])
+            np.minimum.at(l2, ii, labels[jj])
+            while True:
+                nxt = l2[l2]
+                if np.array_equal(nxt, l2):
+                    break
+                l2 = nxt
+            if np.array_equal(l2, labels):
+                break
+            labels = l2
+        # deterministic component index per bucket: ids ascend within each
+        # run, so a component's root (min row index) carries its min id —
+        # ranking roots ascending ranks components by min image_id
+        run_of = np.repeat(np.arange(starts.size, dtype=np.int64), sizes)
+        comp = run_of * np.int64(n) + labels
+        uniq, inv = np.unique(comp, return_inverse=True)
+        run_of_uniq = uniq // n
+        first = np.searchsorted(run_of_uniq, np.arange(starts.size))
+        rank = np.arange(uniq.size, dtype=np.int64) - first[run_of_uniq]
+        cluster = b * np.int64(1 << 32) + rank[inv]
+        sorted_t = t.select(["image_id", "phash_bucket"]).take(pa.array(order))
+        return sorted_t.append_column("cluster_id", pa.array(cluster))
 
     return (
         features.select_columns(["image_id", "phash", "phash_bucket"])
-        .groupby("phash_bucket")
-        .map_groups(refine, batch_format="pandas")
+        .map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bpart")
+        .map_groups(refine, batch_format="pyarrow")
     )

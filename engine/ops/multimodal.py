@@ -77,10 +77,13 @@ VIDEO_FRAME_SCHEMA = pa.schema([
 ])
 
 
-def _fake_floats(payload: bytes, n: int, salt: str) -> np.ndarray:
+def _fake_floats(payload, n: int, salt: str) -> np.ndarray:
     """DETERMINISTIC FAKE: digest-seeded pseudo-signal standing in for a
-    real decoder. Marked fake; do not interpret numerically."""
-    h = hashlib.sha256(salt.encode() + payload).digest()
+    real decoder. Marked fake; do not interpret numerically. Accepts any
+    bytes-like (incl. zero-copy memoryview of an Arrow buffer)."""
+    hh = hashlib.sha256(salt.encode())
+    hh.update(payload)
+    h = hh.digest()
     rng = np.random.default_rng(np.frombuffer(h[:8], dtype=np.uint64)[0])
     return rng.standard_normal(n)
 
@@ -100,7 +103,10 @@ class ImageFeatureStage:
             payload = payload.combine_chunks()
         rows = {"id": [], "w": [], "h": [], "mean_luma": []}
         for i in range(t.num_rows):
-            px = self.decoders[fmts[i]](payload[i].as_py(), int(ws[i]), int(hs[i]))
+            # zero-copy payload view straight off the Arrow buffer (the
+            # as_py() path copies every image once per row)
+            px = self.decoders[fmts[i]](memoryview(payload[i].as_buffer()),
+                                        int(ws[i]), int(hs[i]))
             f = px.astype(np.float64)
             rows["id"].append(t[self.id_col][i].as_py())
             rows["w"].append(int(ws[i]))
@@ -138,7 +144,7 @@ class AudioFeatureStage:
         ids = t[self.id_col].to_pylist()
         rows = {"id": [], "n_samples": [], "rms": [], "spectral_centroid": []}
         for i in range(t.num_rows):
-            n, rms, cent = self._features(payload[i].as_py())
+            n, rms, cent = self._features(memoryview(payload[i].as_buffer()))
             rows["id"].append(ids[i])
             rows["n_samples"].append(n)
             rows["rms"].append(rms)
@@ -165,12 +171,14 @@ class VideoFrameSampleStage:
             payload = payload.combine_chunks()
         ids, idxs, frames = [], [], []
         for i in range(t.num_rows):
-            raw = payload[i].as_py()
+            raw = memoryview(payload[i].as_buffer())
             n_frames = max(1, len(raw) // self.frame_bytes)
             for fi in range(0, n_frames, self.every):
                 ids.append(t[self.id_col][i].as_py())
                 idxs.append(fi)
-                frames.append(raw[fi * self.frame_bytes : (fi + 1) * self.frame_bytes])
+                # bytes() copies only the emitted frame slice (the output
+                # column owns its bytes); the payload itself is never copied
+                frames.append(bytes(raw[fi * self.frame_bytes : (fi + 1) * self.frame_bytes]))
         return pa.table({"id": ids, "frame_idx": pa.array(idxs, type=pa.int32()),
                          "frame_bytes": pa.array(frames, type=pa.binary())},
                         schema=VIDEO_FRAME_SCHEMA)

@@ -18,8 +18,6 @@ re-join artifacts onto the pair list by doc_id instead (same operators).
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -461,19 +459,27 @@ def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
     shingles: shingles with document frequency > df_cap are stop
     shingles — removed from the similarity measure entirely (stopword
     semantics), which both bounds every inverted-index bucket at df_cap
-    rows AND lets the intersection be counted instead of re-derived:
+    rows AND lets the intersection be counted instead of re-derived.
+
+    ONE hash-partitioned pass over the exploded (shingle, doc) rows
+    emits BOTH outputs the measure needs — the partitioning co-locates
+    every bucket (= one distinct shingle value) whole, so a bucket's run
+    length IS its global document frequency:
 
       pair rows   : one (a, b) row per SHARED sub-cap shingle, emitted
-                    from df-bounded buckets (never quadratic)
+                    from df-bounded runs (never quadratic); runs longer
+                    than df_cap are stop shingles and emit nothing
+      size rows   : per-doc counts of rows sitting in sub-cap runs —
+                    summed across partitions this is each doc's sub-cap
+                    shingle-set size (no stop-list derivation, no
+                    corpus-scale table ever leaves the Dataset: the
+                    round-3 form pulled the full distinct-shingle DF
+                    table to the driver, ~10^11 rows at 100 TB)
       intersection: groupby(a, b).count() — no shingle-set re-join, no
                     per-pair set materialization (the first cut joined
                     full shingle sets onto every candidate and lexsorted
                     ~3x10^8 values at sf0.1: 141 s; this form is one
                     count shuffle of the pair rows)
-      sizes       : per-doc sub-cap shingle counts = total distinct
-                    (free from the set offsets) minus membership hits
-                    against the broadcast stop-shingle list, whose size
-                    is bounded by corpus_shingles/df_cap
       jaccard     : c / (n_a + n_b - c), filter >= threshold
 
     On any corpus where no shingle exceeds df_cap (both test scales:
@@ -482,11 +488,11 @@ def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
     -> Dataset(a, b, jaccard). At doc counts where a per-doc size table
     no longer broadcasts (~10^10+), swap the two broadcast_lookup calls
     for equi_join — same semantics."""
-    import ray
+    from ray.data.aggregate import Count, Sum
 
     from engine.ops.join import broadcast_lookup
 
-    sh = shingle_sets(ds, id_col, text_col, k).materialize()
+    sh = shingle_sets(ds, id_col, text_col, k)
 
     def explode(t: pa.Table) -> pa.Table:
         offs, data = _binary_views(t["shingles"])
@@ -498,40 +504,43 @@ def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
 
     banded = sh.map_batches(explode, batch_format="pyarrow")
 
-    # stop-shingle list: tiny by construction (<= total shingles / df_cap)
-    df_tbl = banded.groupby("bucket").count().to_pandas()
-    capped = np.sort(df_tbl.loc[df_tbl["count()"] > df_cap, "bucket"].to_numpy())
-    capped_ref = ray.put(capped)
-
     def emit(t: pa.Table) -> pa.Table:
+        """Pair rows (a, b, n=null) + per-doc sub-cap size partials
+        (a=doc, b=null, n=count) from one sorted pass over complete
+        buckets."""
         idtype = t.schema.field(id_col).type
         _, _, ids, starts, sizes = _sorted_runs(t, id_col)
         ii, jj = _run_pair_indices(starts, sizes, df_cap, overflow="drop")
         if ii.size:
             keep = ids[ii] != ids[jj]
             ii, jj = ii[keep], jj[keep]
-        return pa.table({"a": pa.array(ids[ii], type=idtype),
-                         "b": pa.array(ids[jj], type=idtype)})
+        sub = np.repeat(sizes <= df_cap, sizes)
+        if sub.any():
+            ud, cnt = np.unique(ids[sub], return_counts=True)
+        else:
+            ud, cnt = ids[:0], np.empty(0, np.int64)
+        return pa.table({
+            "a": pa.concat_arrays([pa.array(ids[ii], type=idtype),
+                                   pa.array(ud, type=idtype)]),
+            "b": pa.concat_arrays([pa.array(ids[jj], type=idtype),
+                                   pa.nulls(len(ud), idtype)]),
+            "n": pa.concat_arrays([pa.nulls(ii.size, pa.int64()),
+                                   pa.array(cnt.astype(np.int64))]),
+        })
 
-    pair_rows = _bucketed_pairs(banded, emit)  # one row per shared shingle
-    from ray.data.aggregate import Count
-
+    # one row per shared sub-cap shingle (b valid) + size partials (b null);
+    # materialized once so the two consumers below don't re-run the explode
+    # + bucket exchange — this table is pair-rows + docs sized, << corpus
+    combined = _bucketed_pairs(banded, emit).materialize()
+    pair_rows = combined.map_batches(
+        lambda t: t.filter(pc.is_valid(t["b"])).select(["a", "b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
     common = pair_rows.groupby(["a", "b"]).aggregate(Count(alias_name="c"))
-
-    def sizes_fn(t: pa.Table) -> pa.Table:
-        stop = ray.get(capped_ref)
-        offs, data = _binary_views(t["shingles"])
-        n_total = np.diff(offs)
-        if stop.size:
-            vals = data.view(np.int64)
-            pos = np.clip(np.searchsorted(stop, vals), 0, stop.size - 1)
-            is_stop = (stop[pos] == vals).astype(np.int64)
-            cum = np.zeros(len(vals) + 1, np.int64)
-            np.cumsum(is_stop, out=cum[1:])
-            n_total = n_total - (cum[offs[1:]] - cum[offs[:-1]])
-        return pa.table({id_col: t[id_col], "n": pa.array(n_total)})
-
-    size_ds = sh.map_batches(sizes_fn, batch_format="pyarrow")
+    size_ds = (combined.map_batches(
+        lambda t: t.filter(pc.is_null(t["b"])).select(["a", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("a").aggregate(Sum("n", alias_name="n"))
+        .rename_columns({"a": id_col}))
     j = broadcast_lookup(common, size_ds, on="a", right_on=id_col)
     j = j.rename_columns({"n": "na"})
     j = broadcast_lookup(j, size_ds, on="b", right_on=id_col).rename_columns({"n": "nb"})
@@ -552,53 +561,58 @@ def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
 # --------------------------------------------------------------- simhash --
 
 class SimHasher:
-    """64-bit SimHash over whitespace tokens (crc32-derived bit vectors,
-    count-weighted)."""
+    """64-bit SimHash over whitespace tokens: count-weighted sign sums of
+    per-token 64-bit hashes (the same SipHash kernel every other signature
+    op uses — the round-3 crc32 pair was the one per-token Python loop
+    left in the family)."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col, self.text_col = id_col, text_col
 
     @staticmethod
     def simhash(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in text.split():
-            h1 = zlib.crc32(tok.encode("utf-8"))
-            h2 = zlib.crc32((tok + "#2").encode("utf-8"))
-            h = (np.uint64(h1) << np.uint64(32)) | np.uint64(h2)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        v = np.uint64(0)
-        for i in range(64):
-            if acc[i] > 0:
-                v |= np.uint64(1) << np.uint64(i)
-        return int(v.astype(np.int64).item()) if hasattr(v, "astype") else int(v)
+        """One doc (reference path; delegates to the batch kernel so the
+        two can never drift — parity is still pytest-checked)."""
+        out = SimHasher._batch(pa.array([text], pa.string()))
+        return int(out.view(np.int64)[0])
+
+    @staticmethod
+    def _batch(col) -> np.ndarray:
+        """String column -> uint64 simhashes, fully vectorized: ONE RE2
+        split + ONE SipHash pass (_token_hashes), then numpy bit-spread /
+        reduceat sign sums. The (tokens, 64) int32 contribution matrix is
+        processed in doc-aligned chunks so the temp stays ~tens of MB
+        regardless of batch size."""
+        ntok, h = _token_hashes(col)
+        n = ntok.size
+        out = np.zeros(n, dtype=np.uint64)
+        if h.size == 0:
+            return out
+        tok_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(ntok, out=tok_offs[1:])
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        chunk_toks = 1 << 19  # 512k tokens x 64 x int32 = 128 MB ceiling
+        d0 = 0
+        while d0 < n:
+            d1 = int(np.searchsorted(tok_offs, tok_offs[d0] + chunk_toks, side="left"))
+            d1 = min(max(d1, d0 + 1), n)
+            seg = h[tok_offs[d0]:tok_offs[d1]]
+            lens = ntok[d0:d1]
+            nz = lens > 0
+            if seg.size:
+                contrib = (((seg[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1)
+                starts = (tok_offs[d0:d1] - tok_offs[d0])[nz]
+                # reduceat sums run [starts[i], starts[i+1]): consecutive
+                # nonempty-doc starts delimit exactly each doc's tokens
+                acc = np.add.reduceat(contrib, starts, axis=0)
+                out[d0:d1][nz] = ((acc > 0).astype(np.uint64) * powers[None, :]).sum(
+                    axis=1, dtype=np.uint64)
+            d0 = d1
+        return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        """Batch-vectorized: crc32 per token (C call) but ALL bit-spread /
-        sign-sum / packing is one numpy pass over the whole batch — no
-        per-token Python arithmetic (parity with simhash() is tested)."""
-        texts = t[self.text_col].to_pylist()
-        n = len(texts)
-        toks_per = [x.split() for x in texts]
-        lens = np.array([len(tk) for tk in toks_per], dtype=np.int64)
-        flat = [tok for tk in toks_per for tok in tk]
-        out = np.zeros(n, dtype=np.uint64)
-        if flat:
-            crc = zlib.crc32
-            h1 = np.fromiter((crc(s.encode("utf-8")) for s in flat),
-                             dtype=np.uint64, count=len(flat))
-            h2 = np.fromiter((crc((s + "#2").encode("utf-8")) for s in flat),
-                             dtype=np.uint64, count=len(flat))
-            h = (h1 << np.uint64(32)) | h2
-            shifts = np.arange(64, dtype=np.uint64)[None, :]
-            contrib = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1)
-            nz = lens > 0
-            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])[nz]
-            acc = np.add.reduceat(contrib, starts, axis=0)
-            # reduceat sums run [starts[i], starts[i+1]): consecutive
-            # nonempty-doc starts delimit exactly each doc's tokens
-            powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
-            out[nz] = ((acc > 0).astype(np.uint64) * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        out = self._batch(t[self.text_col])
         return pa.table({self.id_col: t[self.id_col],
                          "simhash": pa.array(out.view(np.int64))})
 
@@ -903,17 +917,33 @@ def dup_groups_distributed(pairs, max_rounds: int = 25):
 # --------------------------------------------------------------- semdedup --
 
 def _sem_centroids(ds, n_clusters: int, id_col: str, emb_col: str,
-                   sample_frac: float, seed: int) -> np.ndarray:
+                   sample_frac: float, seed: int, n_rows: int | None = None,
+                   max_sample_rows: int = 131_072) -> np.ndarray:
     """Deterministic k-means centroids: sample rows by splitmix64(id) <
     frac·2^64 (content-addressed — identical across partitionings and
     cluster sizes, unlike ``Dataset.random_sample`` whose draw depends
-    on the physical plan), then seeded init + one Lloyd step.  The
-    sample is tiny (frac·n rows) so the driver-side pull is bounded."""
+    on the physical plan), then seeded init + one Lloyd step.
+
+    The driver-side pull is ABSOLUTELY capped: the effective fraction is
+    min(sample_frac, max_sample_rows / n) so a 10^12-row corpus pulls
+    ~max_sample_rows rows, not frac·corpus (the round-3 form was
+    fraction-proportional). If the hash draw lands fewer rows than
+    n_clusters (tiny corpus x small frac), fall back to the full corpus
+    capped at max_sample_rows; zero rows is a clear error."""
     from engine.ops.agg import deterministic_sample
 
-    samp = (deterministic_sample(ds.select_columns([id_col, emb_col]),
-                                 id_col, sample_frac, hash_fn="splitmix64")
+    cols = ds.select_columns([id_col, emb_col])
+    if n_rows is None:
+        n_rows = cols.count()
+    frac = min(sample_frac, max_sample_rows / max(1, n_rows))
+    samp = (deterministic_sample(cols, id_col, frac, hash_fn="splitmix64")
             .to_pandas().sort_values(id_col))
+    if len(samp) < max(n_clusters, 1):
+        samp = cols.limit(max_sample_rows).to_pandas().sort_values(id_col)
+    if len(samp) == 0:
+        raise ValueError(
+            f"_sem_centroids: empty corpus — no rows to derive centroids from "
+            f"(sample_frac={sample_frac}, n_rows={n_rows})")
     m = np.stack(samp[emb_col].to_numpy()).astype(np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -926,31 +956,43 @@ def _sem_centroids(ds, n_clusters: int, id_col: str, emb_col: str,
 
 
 def semdedup_prune(group: pa.Table, threshold: float, id_col: str,
-                   emb_col: str) -> pa.Table:
+                   emb_col: str, block: int = 1024) -> pa.Table:
     """Greedy within-cluster pruning (the SemDeDup inner loop): walk the
     cluster in id order; keep a vector iff its max cosine against every
-    ALREADY-KEPT vector is < threshold.  One BLAS gemv per row against
-    the kept prefix — O(c·kept·d) per cluster of size c; clusters are
-    balanced by k-means so no cluster approaches corpus size (cap via
-    n_clusters ∝ corpus size at scale)."""
+    ALREADY-KEPT vector is < threshold.
+
+    BLOCKED evaluation (identical greedy semantics to the sequential
+    twin, pytest-oracled): each block of ``block`` rows computes ONE
+    BLAS matmul against the whole kept prefix (the dominant cost,
+    O(c·kept·d) but matrix-matrix instead of per-row gemv), then the
+    residual within-block dependency — rows kept earlier in the SAME
+    block — is resolved with gemvs against at most ``block`` vectors
+    (cache-hot). Per-row Python work is O(1) bookkeeping."""
     ids = group[id_col].to_numpy(zero_copy_only=False)
     order = np.argsort(ids, kind="stable")
     m = _emb_matrix(group, emb_col)[order]
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     n = len(ids)
     kept_buf = np.empty_like(m)  # kept vectors packed contiguously: the
-    nn_sim = np.zeros(n, dtype=np.float64)  # per-row gemv runs on a VIEW,
+    nn_sim = np.zeros(n, dtype=np.float64)  # inner gemvs run on VIEWS,
     keep = np.zeros(n, dtype=bool)          # no fancy-index copy per row
     nk = 0
-    for i in range(n):
-        if nk:
-            s = float(np.max(kept_buf[:nk] @ m[i]))
-            nn_sim[i] = s
-            if s >= threshold:
-                continue
-        keep[i] = True
-        kept_buf[nk] = m[i]
-        nk += 1
+    for b0 in range(0, n, block):
+        b1 = min(n, b0 + block)
+        base = (np.max(m[b0:b1] @ kept_buf[:nk].T, axis=1) if nk
+                else np.full(b1 - b0, -np.inf))
+        bk0 = nk
+        for i in range(b0, b1):
+            s = base[i - b0]
+            if nk > bk0:
+                s = max(s, float(np.max(kept_buf[bk0:nk] @ m[i])))
+            if nk:  # at least one kept vector precedes row i
+                nn_sim[i] = s
+                if s >= threshold:
+                    continue
+            keep[i] = True
+            kept_buf[nk] = m[i]
+            nk += 1
     out = group.take(pa.array(order))
     return (out.append_column("kept", pa.array(keep))
                .append_column("nn_sim", pa.array(nn_sim)))
@@ -958,7 +1000,8 @@ def semdedup_prune(group: pa.Table, threshold: float, id_col: str,
 
 def semdedup(ds, threshold: float = 0.85, n_clusters: int = 16,
              id_col: str = "vec_id", emb_col: str = "embedding",
-             sample_frac: float = 0.2, seed: int = 42):
+             sample_frac: float = 0.2, seed: int = 42,
+             target_cluster_rows: int = 65_536):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster normalized
     embeddings with deterministic k-means, then greedily drop members
     whose cosine similarity to an earlier-kept member of the SAME
@@ -966,10 +1009,19 @@ def semdedup(ds, threshold: float = 0.85, n_clusters: int = 16,
     map pass + ONE cluster-keyed groupby().map_groups — the only
     exchange.  Returns every row tagged (centroid_id, kept, nn_sim);
     filter kept to materialize the survivors.  Pytest oracle: a
-    sequential NumPy twin in tests/test_semdedup.py."""
+    sequential NumPy twin in tests/test_semdedup.py.
+
+    ``n_clusters`` is a FLOOR: the effective count is
+    max(n_clusters, ceil(n / target_cluster_rows)) so no cluster
+    approaches corpus size on a big corpus (each cluster is pruned
+    inside ONE map_groups task — its size bounds that task's memory and
+    the blocked-matmul prune's quadratic term)."""
     import ray
 
-    cents = _sem_centroids(ds, n_clusters, id_col, emb_col, sample_frac, seed)
+    n_rows = ds.count()
+    n_clusters = max(n_clusters, -(-n_rows // target_cluster_rows))
+    cents = _sem_centroids(ds, n_clusters, id_col, emb_col, sample_frac, seed,
+                           n_rows=n_rows)
     ref = ray.put(cents)
 
     def tag(t: pa.Table) -> pa.Table:

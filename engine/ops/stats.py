@@ -24,6 +24,15 @@ _V2 = _V * _V
 
 
 def image_stats(pixels: np.ndarray, gray: np.ndarray | None = None) -> dict:
+    """Per-image descriptor dict (w/h/aspect, RGB means+stds, entropy).
+
+    CONSUMED-ARGUMENT CONTRACT: when ``gray`` is passed (the float64
+    BT.601 plane the caller already computed for the phash resize), it is
+    MUTATED IN PLACE (rint+clip, out=gray) to avoid two more full-image
+    float temps. Callers must pass a plane they are done with — e.g.
+    FeaturizeActor calls ``area_resize_32(gray)`` BEFORE this function —
+    or pass ``gray.copy()``. Pass gray=None to derive the plane here.
+    """
     # Channel moments from 256-bin histograms: one O(n) bincount per
     # channel replaces the float64 full-image mean+std passes (2.5x
     # featurize-stage speedup measured at the 'large' bench profile).

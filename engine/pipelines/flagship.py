@@ -128,7 +128,10 @@ def events_flagship(sf_dir: str, num_partitions: int | None = None):
     then fused windowed features per user."""
     import ray.data as rd
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    # prune at the read: the props JSON column would otherwise ride the
+    # as-of exchange for nothing (it is never touched downstream)
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type", "value"])
     purchases = ev.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow"
     ).select_columns(["user_id", "ts", "value"])

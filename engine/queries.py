@@ -327,9 +327,14 @@ def q_pivot_user_by_type(sf_dir):
     ev = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
     out = pivot(ev, index="user_id", column="event_type", value="value",
                 categories=["view", "purchase", "click"], agg="sum")
-    for c in ["sum_value_view", "sum_value_purchase", "sum_value_click"]:
-        out[c] = sql_round(out[c], 6)
-    return out
+
+    def rnd(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for c in ["sum_value_view", "sum_value_purchase", "sum_value_click"]:
+            cols[c] = pa.array(sql_round(t[c].to_numpy(zero_copy_only=False), 6))
+        return pa.table(cols)
+
+    return out.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_quantiles_by_type(sf_dir):

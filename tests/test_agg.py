@@ -113,7 +113,7 @@ def test_pivot_count_and_mean(ray_session, con):
     ev = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type", "value"])
     cats = ["view", "purchase"]
     got = (pivot(ev, "user_id", "event_type", "value", cats, agg="mean")
-           .sort_values("user_id").reset_index(drop=True))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
     exp = con.execute("""
         SELECT user_id,
                AVG(CASE WHEN event_type='view' THEN value END) AS m_view,

@@ -72,3 +72,65 @@ def test_refine_groups_near_duplicates(ray_session, feats):
     m = out.sort_values("image_id").reset_index(drop=True)
     m2 = out2.sort_values("image_id").reset_index(drop=True)
     assert (m["cluster_id"].to_numpy() == m2["cluster_id"].to_numpy()).all()
+
+
+def test_refine_degenerate_bucket_bounded(ray_session):
+    """A planted hot bucket (5k identical phashes) must refine with
+    star-capped pair emission — bounded memory, one component — and
+    members beyond the cap still join the anchor's component."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    n = 5000
+    t = pa.table({
+        "image_id": pa.array(np.arange(n, dtype=np.int64)),
+        "phash": pa.array(np.full(n, 1234567, dtype=np.int64)),
+        "phash_bucket": pa.array(np.full(n, 7, dtype=np.int32)),
+    })
+    out = refine_clusters(rd.from_arrow(t).repartition(4), radius=3,
+                          max_bucket=100).to_pandas()
+    assert len(out) == n
+    assert out["cluster_id"].nunique() == 1  # all identical -> one component
+    assert (out["cluster_id"] == 7 * (1 << 32)).all()
+
+
+def test_refine_matches_bruteforce_smallbuckets(ray_session):
+    """Below the cap, components must equal brute-force single-linkage
+    over the full Hamming matrix."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.ops.phash import hamming
+
+    rng = np.random.default_rng(7)
+    n = 300
+    ph = rng.integers(-2**62, 2**62, n, dtype=np.int64)
+    # plant near-identical pairs (flip 1-2 low bits)
+    ph[50:100] = ph[0:50] ^ rng.integers(1, 4, 50)
+    bucket = rng.integers(0, 5, n).astype(np.int32)
+    bucket[50:100] = bucket[0:50]
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"image_id": ids, "phash": ph, "phash_bucket": bucket})
+    out = (refine_clusters(rd.from_arrow(t).repartition(3), radius=3)
+           .to_pandas().sort_values("image_id").reset_index(drop=True))
+
+    # brute force per bucket
+    exp = np.empty(n, dtype=np.int64)
+    for bk in np.unique(bucket):
+        rows = np.flatnonzero(bucket == bk)
+        rows = rows[np.argsort(ids[rows])]
+        d = hamming(ph[rows], ph[rows])
+        adj = d <= 3
+        m = len(rows)
+        lab = np.arange(m)
+        for _ in range(m):
+            new = lab.copy()
+            for i in range(m):
+                new[i] = min(lab[adj[i]].min(), new[i])
+            if (new == lab).all():
+                break
+            lab = new
+        # rank components by min id (= min row since ids sorted)
+        _, inv = np.unique(lab, return_inverse=True)
+        exp[rows] = np.int64(bk) * (1 << 32) + inv
+    assert (out["cluster_id"].to_numpy() == exp).all()
