@@ -78,11 +78,30 @@ _register_self_contained()
 _trace(f"module imported: file={__file__} argv={sys.argv[:3]}")
 
 
+def _quiet_data_context() -> None:
+    """Best-effort Ray Data session tuning for the driver's run: progress
+    bars and per-dataset stats logging cost real wall time per query (the
+    contract runs 70 of them); correctness is unaffected. Never raises —
+    attributes differ across Ray versions."""
+    try:
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        ctx.enable_progress_bars = False
+        for attr in ("enable_auto_log_stats", "verbose_stats_logs",
+                     "print_on_execution_start"):
+            if hasattr(ctx, attr):
+                setattr(ctx, attr, False)
+    except Exception:
+        pass
+
+
 def entry() -> Any:
     """Flagship: as-of attach + fused windowed features over sf0.001
     events (engine/pipelines/flagship.py); returns a ray.data.Dataset."""
     import ray
 
+    _quiet_data_context()
     _trace(f"entry() called, ray.is_initialized={ray.is_initialized()}")
     from engine.pipelines.flagship import events_flagship
 
@@ -109,6 +128,7 @@ def _traced(name: str, fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    _quiet_data_context()
     _trace("queries() called")
     from engine.queries import QUERIES
 

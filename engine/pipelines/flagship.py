@@ -129,9 +129,12 @@ def events_flagship(sf_dir: str, num_partitions: int | None = None):
     import ray.data as rd
 
     # prune at the read: the props JSON column would otherwise ride the
-    # as-of exchange for nothing (it is never touched downstream)
+    # as-of exchange for nothing (it is never touched downstream). The
+    # metadata strip keeps pa.Schema hashable (Ray's schema-dedup fast path).
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "ts", "user_id", "event_type", "value"])
+                         columns=["event_id", "ts", "user_id", "event_type", "value"]
+                         ).map_batches(lambda t: t.replace_schema_metadata(None),
+                                       batch_format="pyarrow", zero_copy_batch=True)
     purchases = ev.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow"
     ).select_columns(["user_id", "ts", "value"])

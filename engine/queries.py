@@ -31,10 +31,27 @@ def sql_round(x, d: int):
     return np.where(np.isnan(arr), arr, np.trunc(np.abs(arr) * m + 0.5) / m * np.where(arr < 0, -1.0, 1.0))
 
 
+_READ_CACHE: dict = {}
+
+
 def _read(sf_dir: str, name: str, columns=None):
+    """Per-process cache of the LAZY read plan keyed by (dir, table,
+    columns): Datasets are immutable logical plans, so reuse across
+    queries is safe and skips the repeated parquet-metadata fetch the
+    70-query driver contract otherwise pays per query."""
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    key = (sf_dir, name, tuple(columns) if columns else None)
+    ds = _READ_CACHE.get(key)
+    if ds is None:
+        # strip the parquet pandas metadata: it makes pa.Schema UNHASHABLE
+        # (metadata dict), which defeats Ray's schema-dedup fast path and
+        # logs a warning in every reduce task downstream
+        ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns).map_batches(
+            lambda t: t.replace_schema_metadata(None),
+            batch_format="pyarrow", zero_copy_batch=True)
+        _READ_CACHE[key] = ds
+    return ds
 
 
 def _filter_type(ds, et: str):

