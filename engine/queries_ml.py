@@ -239,6 +239,20 @@ def q_semdedup(sf_dir):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_exact_substring_dup(sf_dir):
+    """ExactSubstr-family dedup (Lee et al. 2021): maximal cross-document
+    byte-exact duplicate extents >= 32 bytes via winnowing anchors +
+    diagonal extension. Maximal-extension is not SQL-expressible, so
+    rows-only; the exact semantics are pytest-oracled against a
+    brute-force all-pairs all-diagonals reference
+    (tests/test_exactsubstr.py)."""
+    from engine.ops.exactsubstr import exact_substring_dup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_substring_dup(docs, k=16, w=17, min_len=32).to_pandas()
+    return out.sort_values(["a", "b", "pos_a"]).reset_index(drop=True)
+
+
 def q_dup_groups(sf_dir):
     """MinHash pairs -> connected components via the size-dispatched
     ``dup_groups`` (driver union-find below 200k pairs, distributed
@@ -568,6 +582,7 @@ QUERIES_ML = {
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
+    "exact_substring_dup": q_exact_substring_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "dup_groups": q_dup_groups,
