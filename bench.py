@@ -43,12 +43,14 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # partition count computed for the FULL cluster (32 CPUs) and held fixed
 # across scaling levels, per the scaling-run discipline in BASELINE.md
 BENCH_PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "48"))
-# partitions of the fused as-of+window exchange. Measured A/B in a
-# clean-steal window at 1.44M/32 CPUs: P=48 sink 14.2 s vs P=96 21.9 s —
-# more partitions add exchange overhead (sampling, 2x reduce fetches)
-# faster than they relieve the ~150k-rows-per-group serial merges, so
-# the coalesce partition count stays the default.
-SINK_PARTITIONS = int(os.environ.get("GRAFT_BENCH_SINK_PARTITIONS", str(BENCH_PARTITIONS)))
+# partitions of the fused as-of+window exchange. Measured A/Bs:
+# round 3 (1.44M/32 CPUs, clean steal): P=48 sink 14.2 s vs P=96 21.9 s;
+# round 4 (240k/32 CPUs, 3 interleaved reps): P=32 sink 4.4/4.6/4.4 s vs
+# P=48 7.4/6.0/5.9 s, while at 8 CPUs the two tie (~7s at matched steal).
+# Exchange fixed cost scales with P and bills the HIGH parallelism level
+# hardest, so the sink runs at P = full-cluster CPU count, held fixed
+# across scaling levels per the BASELINE.md discipline.
+SINK_PARTITIONS = int(os.environ.get("GRAFT_BENCH_SINK_PARTITIONS", "32"))
 
 
 def log(msg: str) -> None:
@@ -200,7 +202,8 @@ def run_headline(num_cpus: int) -> dict:
     obs = rd.read_parquet(obs_path)
     # fused: as-of attach + windowed features in ONE entity-hash shuffle
     out = asof_windowed(obs, fv, on="image_id", right_cols=["fv"], tie_break="seq",
-                        num_partitions=SINK_PARTITIONS)
+                        num_partitions=SINK_PARTITIONS,
+                        exchange=os.environ.get("GRAFT_ASOF_EXCHANGE", "sort"))
     out.write_parquet(out_dir)
     wall = time.time() - t0
     st1, tt1 = _cpu_stat()

@@ -110,17 +110,18 @@ def asof_windowed(left, right, on: str, right_cols=None, value: str = "value",
                   gap_us: int = 4 * 3600 * 1_000_000,
                   window_us: int = 24 * 3600 * 1_000_000,
                   tie_break: str | None = None, suffix: str = "_r",
-                  num_partitions: int | None = None):
+                  num_partitions: int | None = None, exchange: str = "sort"):
     """As-of join + windowed features in ONE shuffle: the window pass runs
     inside the as-of merge's map_groups call (both keyed on hash(entity)),
-    so the timeline never pays a second exchange."""
+    so the timeline never pays a second exchange. ``exchange`` selects the
+    physical exchange (see engine.ops.asof.asof_join)."""
     from engine.ops.asof import asof_join
 
     def post(merged):
         return window_pass(merged, on, "ts", value, gap_us, window_us, tie_break)
 
     return asof_join(left, right, on=on, right_cols=right_cols, suffix=suffix,
-                     num_partitions=num_partitions, post=post)
+                     num_partitions=num_partitions, post=post, exchange=exchange)
 
 
 def events_flagship(sf_dir: str, num_partitions: int | None = None):
