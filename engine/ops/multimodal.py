@@ -184,8 +184,13 @@ class VideoFrameSampleStage:
                         schema=VIDEO_FRAME_SCHEMA)
 
 
-def decode_stage(ds, stage_cls, batch_size: int = 64, concurrency=(1, 4), **kwargs):
+def decode_stage(ds, stage_cls, batch_size: int = 64, concurrency=None, **kwargs):
     """Attach a multimodal decode/feature stage as an actor pool with the
-    small-batch sizing binary payloads need."""
+    small-batch sizing binary payloads need. Default pool bounds autoscale
+    to the cluster CPU count (min 1 actor — cheap on small runs)."""
+    if concurrency is None:
+        from engine.ops.partitioning import _cpus
+
+        concurrency = (1, max(4, _cpus()))
     return ds.map_batches(stage_cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size, concurrency=concurrency)

@@ -420,11 +420,16 @@ def minhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
     heap (kept as the test oracle for the distributed path)."""
     import pyarrow.compute as pc
 
+    from engine.ops.partitioning import _cpus
+
     rows = num_perm // bands
+    # autoscaling actor pool sized to the CLUSTER: a fixed small cap would
+    # bottleneck the signature stage on a many-node cluster; min 1 actor
+    # keeps small (contract-scale) runs cheap
     sigs = ds.map_batches(
         MinHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
                                           "num_perm": num_perm, "k_shingle": k_shingle, "seed": seed},
-        batch_format="pyarrow", concurrency=(1, 4),
+        batch_format="pyarrow", concurrency=(1, max(4, _cpus())),
     )
     banded = sigs.map_batches(lambda t: band_rows(t, id_col, bands, rows), batch_format="pyarrow")
     cands = candidate_pairs(banded, id_col, max_bucket=max_bucket)
@@ -468,13 +473,17 @@ def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
 
       pair rows   : one (a, b) row per SHARED sub-cap shingle, emitted
                     from df-bounded runs (never quadratic); runs longer
-                    than df_cap are stop shingles and emit nothing
-      size rows   : per-doc counts of rows sitting in sub-cap runs —
-                    summed across partitions this is each doc's sub-cap
-                    shingle-set size (no stop-list derivation, no
-                    corpus-scale table ever leaves the Dataset: the
-                    round-3 form pulled the full distinct-shingle DF
-                    table to the driver, ~10^11 rows at 100 TB)
+                    than df_cap are stop shingles and emit no pairs
+      stop rows   : per-doc counts of rows sitting in STOP (capped) runs
+                    — rare by definition (the boilerplate mass), so the
+                    materialized side-output is pairs + stop-mass sized,
+                    NOT corpus sized. Per-doc sub-cap sizes = total
+                    distinct shingles (free from the set offsets, one
+                    map-only pass) minus these stop hits. No stop-list
+                    derivation, no corpus-scale table ever leaves the
+                    Dataset (the round-3 form pulled the full
+                    distinct-shingle DF table to the driver, ~10^11 rows
+                    at 100 TB)
       intersection: groupby(a, b).count() — no shingle-set re-join, no
                     per-pair set materialization (the first cut joined
                     full shingle sets onto every candidate and lexsorted
@@ -505,18 +514,18 @@ def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
     banded = sh.map_batches(explode, batch_format="pyarrow")
 
     def emit(t: pa.Table) -> pa.Table:
-        """Pair rows (a, b, n=null) + per-doc sub-cap size partials
-        (a=doc, b=null, n=count) from one sorted pass over complete
-        buckets."""
+        """Pair rows (a, b, n=null) + per-doc STOP-hit partials (a=doc,
+        b=null, n=count of this doc's shingles in capped runs) from one
+        sorted pass over complete buckets."""
         idtype = t.schema.field(id_col).type
         _, _, ids, starts, sizes = _sorted_runs(t, id_col)
         ii, jj = _run_pair_indices(starts, sizes, df_cap, overflow="drop")
         if ii.size:
             keep = ids[ii] != ids[jj]
             ii, jj = ii[keep], jj[keep]
-        sub = np.repeat(sizes <= df_cap, sizes)
-        if sub.any():
-            ud, cnt = np.unique(ids[sub], return_counts=True)
+        stop = np.repeat(sizes > df_cap, sizes)
+        if stop.any():
+            ud, cnt = np.unique(ids[stop], return_counts=True)
         else:
             ud, cnt = ids[:0], np.empty(0, np.int64)
         return pa.table({
@@ -528,19 +537,41 @@ def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
                                    pa.array(cnt.astype(np.int64))]),
         })
 
-    # one row per shared sub-cap shingle (b valid) + size partials (b null);
-    # materialized once so the two consumers below don't re-run the explode
-    # + bucket exchange — this table is pair-rows + docs sized, << corpus
+    # one row per shared sub-cap shingle (b valid) + stop-hit partials
+    # (b null); materialized once so the two consumers below don't re-run
+    # the explode + bucket exchange — pairs + stop-mass sized, << corpus
     combined = _bucketed_pairs(banded, emit).materialize()
     pair_rows = combined.map_batches(
         lambda t: t.filter(pc.is_valid(t["b"])).select(["a", "b"]),
         batch_format="pyarrow", zero_copy_batch=True)
     common = pair_rows.groupby(["a", "b"]).aggregate(Count(alias_name="c"))
-    size_ds = (combined.map_batches(
+    # stop-hit sums are SMALL by construction (only docs containing
+    # boilerplate shingles appear) — materialize driver-side for the
+    # broadcast. An empty aggregate comes back schema-less, so guard.
+    stop_pdf = (combined.map_batches(
         lambda t: t.filter(pc.is_null(t["b"])).select(["a", "n"]),
         batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("a").aggregate(Sum("n", alias_name="n"))
-        .rename_columns({"a": id_col}))
+        .groupby("a").aggregate(Sum("n", alias_name="__stop"))
+        .to_pandas())
+
+    def totals(t: pa.Table) -> pa.Table:
+        offs, _ = _binary_views(t["shingles"])
+        return pa.table({id_col: t[id_col], "n": pa.array(np.diff(offs))})
+
+    size_ds = sh.map_batches(totals, batch_format="pyarrow")
+    if len(stop_pdf):
+        # per-doc sub-cap size = total distinct shingles - stop hits
+        # (docs with no stop shingles miss the lookup -> null -> 0)
+        stop_pdf = stop_pdf.rename(columns={"a": id_col})
+        size_ds = broadcast_lookup(size_ds, stop_pdf, on=id_col)
+
+        def subtract(t: pa.Table) -> pa.Table:
+            n = t["n"].to_numpy(zero_copy_only=False)
+            s = t["__stop"].to_numpy(zero_copy_only=False).astype(np.float64)
+            s = np.where(np.isnan(s), 0, s).astype(np.int64)
+            return pa.table({id_col: t[id_col], "n": pa.array(n - s)})
+
+        size_ds = size_ds.map_batches(subtract, batch_format="pyarrow")
     j = broadcast_lookup(common, size_ds, on="a", right_on=id_col)
     j = j.rename_columns({"n": "na"})
     j = broadcast_lookup(j, size_ds, on="b", right_on=id_col).rename_columns({"n": "nb"})
@@ -625,8 +656,10 @@ def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_ham
     of the full O(B^2) Hamming matrix (see _bucket_pair_indices)."""
     from engine.ops.dedup import exact_dedup
 
+    from engine.ops.partitioning import _cpus
+
     sigs = ds.map_batches(SimHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
-                          batch_format="pyarrow", concurrency=(1, 4))
+                          batch_format="pyarrow", concurrency=(1, max(4, _cpus())))
 
     def explode(t: pa.Table) -> pa.Table:
         h = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)

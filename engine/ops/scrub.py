@@ -62,12 +62,14 @@ class PiiScrubber:
 
 
 def pii_scrub(ds, id_col: str = "doc_id", text_col: str = "text"):
+    from engine.ops.partitioning import _cpus
+
     return ds.map_batches(
         PiiScrubber,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=(1, max(4, _cpus())),  # autoscale to the cluster
     )
 
 

@@ -15,20 +15,29 @@ def _read(sf_dir: str, name: str, columns=None):
     return _r(sf_dir, name, columns)
 
 
+def _pool() -> tuple:
+    """Actor-pool bounds that autoscale to the cluster (min 1 actor so
+    contract-scale runs pay one startup, max = CPU count so a many-node
+    cluster is never capped at a constant)."""
+    from engine.ops.partitioning import _cpus
+
+    return (1, max(4, _cpus()))
+
+
 # ------------------------------------------------------------- text ops --
 
 def q_token_counts(sf_dir):
     from engine.ops.textstats import TokenCounter
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 2))
+    return docs.map_batches(TokenCounter, batch_format="pyarrow", concurrency=_pool())
 
 
 def q_quality_components(sf_dir):
     from engine.ops.textstats import QualityScorer
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 2))
+    out = docs.map_batches(QualityScorer, batch_format="pyarrow", concurrency=_pool())
     return out.select_columns(["doc_id", "n_chars", "n_nonspace", "n_digits", "n_punct"])
 
 
@@ -36,7 +45,7 @@ def q_quality_score(sf_dir):
     from engine.ops.textstats import QualityScorer
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 2))
+    out = docs.map_batches(QualityScorer, batch_format="pyarrow", concurrency=_pool())
     return out.select_columns(["doc_id", "quality_score"])
 
 
@@ -44,14 +53,14 @@ def q_lang_id(sf_dir):
     from engine.ops.textstats import LangId
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=_pool())
 
 
 def q_fingerprints(sf_dir):
     from engine.ops.textstats import Fingerprinter
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 2))
+    return docs.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=_pool())
 
 
 def q_pii_scrub(sf_dir):
@@ -81,7 +90,7 @@ def q_repetition_stats(sf_dir):
     from engine.ops.textstats import RepetitionStats
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(RepetitionStats, batch_format="pyarrow", concurrency=(1, 2))
+    return docs.map_batches(RepetitionStats, batch_format="pyarrow", concurrency=_pool())
 
 
 def q_decontaminate(sf_dir):
@@ -119,7 +128,7 @@ def q_pack_sequences(sf_dir):
     from engine.ops.textstats import TokenCounter
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    toks = docs.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 2))
+    toks = docs.map_batches(TokenCounter, batch_format="pyarrow", concurrency=_pool())
     toks = toks.select_columns(["doc_id", "n_tokens_ws"])
     return pack_sequences(toks, max_tokens=256, tok_col="n_tokens_ws",
                           num_partitions=16)
