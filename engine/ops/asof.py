@@ -43,6 +43,22 @@ def _null_array(n: int, typ: pa.DataType) -> pa.Array:
     return pa.nulls(n, type=typ)
 
 
+def _exch_type(typ: pa.DataType) -> pa.DataType:
+    """Exchange-wire type for a column: fixed_size_list -> variable list.
+
+    A fixed_size_list<f64,k> has NO offsets buffer, so a NULL slot still
+    occupies k*8 bytes in the child values buffer — `pa.nulls(n, fsl)` on
+    the tag side of the as-of exchange ships n*k*8 bytes of padding
+    through the shuffle (measured: 3.6 GB of the flagship sink's 5.0 GB
+    exchange volume was null fv padding on left rows). A variable list
+    stores a null slot as one repeated offset (4 bytes). The merge casts
+    back to the declared output type (list->fsl cast validates sizes of
+    non-null slots only)."""
+    if pa.types.is_fixed_size_list(typ):
+        return pa.list_(typ.value_type)
+    return typ
+
+
 def asof_join(
     left,
     right,
@@ -91,15 +107,20 @@ def asof_join(
     if right_cols is None:
         right_cols = [n for n in rschema.names if n not in (on, right_ts)]
 
+    # attached right columns are nullable by left-join semantics, and a
+    # NULLABLE fixed_size_list does not survive a parquet round-trip
+    # (pyarrow cannot reconstruct FSL from a null slot's 0 child values)
+    # — so fsl right columns come back as variable lists (_exch_type);
+    # left columns keep their declared types.
     out_right_fields = []
     if include_right_ts:
         out_right_fields.append(pa.field(right_ts + suffix, rschema.field(right_ts).type))
     for c in right_cols:
-        out_right_fields.append(pa.field(c + suffix, rschema.field(c).type))
+        out_right_fields.append(pa.field(c + suffix, _exch_type(rschema.field(c).type)))
 
     unified = pa.schema(
-        [pa.field(n, lschema.field(n).type) for n in lschema.names]
-        + out_right_fields
+        [pa.field(n, _exch_type(lschema.field(n).type)) for n in lschema.names]
+        + [pa.field(f.name, _exch_type(f.type)) for f in out_right_fields]
         + [pa.field("__rts", rschema.field(right_ts).type), pa.field(_SIDE, pa.int8()), pa.field(_PKEY, pa.int32())]
     )
     left_names = list(lschema.names)
@@ -109,7 +130,7 @@ def asof_join(
         n = t.num_rows
         cols = {name: t[name] for name in left_names}
         for f in out_right_fields:
-            cols[f.name] = _null_array(n, f.type)
+            cols[f.name] = _null_array(n, _exch_type(f.type))
         cols["__rts"] = _null_array(n, rschema.field(right_ts).type)
         cols[_SIDE] = pa.array(np.zeros(n, np.int8))
         cols[_PKEY] = pa.array(partition_ids(t[on], P), type=pa.int32())
@@ -119,7 +140,7 @@ def asof_join(
         n = t.num_rows
         cols = {}
         for name in left_names:
-            cols[name] = t[on] if name == on else _null_array(n, lschema.field(name).type)
+            cols[name] = t[on] if name == on else _null_array(n, _exch_type(lschema.field(name).type))
         if include_right_ts:
             cols[right_ts + suffix] = t[right_ts]
         for c in right_cols:
@@ -193,7 +214,8 @@ def asof_join_broadcast(
     if include_right_ts:
         out_right_fields.append(pa.field(right_ts + suffix, rschema.field(right_ts).type))
     for c in right_cols:
-        out_right_fields.append(pa.field(c + suffix, rschema.field(c).type))
+        # variable list for attached fsl columns, same rationale as asof_join
+        out_right_fields.append(pa.field(c + suffix, _exch_type(rschema.field(c).type)))
     out_schema = pa.schema([pa.field(n, lschema.field(n).type) for n in left_names]
                            + out_right_fields)
 
@@ -216,7 +238,9 @@ def asof_join_broadcast(
     if include_right_ts:
         pcols[right_ts + suffix] = right[right_ts].take(take)
     for c in right_cols:
-        pcols[c + suffix] = right[c].take(take)
+        col = right[c].take(take)
+        exch = _exch_type(col.type)
+        pcols[c + suffix] = col.cast(exch) if exch != col.type else col
     payload = pa.table(pcols) if pcols else None
     ref = ray.put((ukeys, uts, composite, codes_s, rts_s, payload))
 
@@ -262,6 +286,13 @@ def _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
     (engine/ops/backfill.py::asof_time_sliced)."""
     rval_names = [f.name for f in out_right_fields]
 
+    def finish(cols) -> pa.Table:
+        # exchange-wire types (fixed_size_list shipped as variable list,
+        # see _exch_type) are cast back to the declared output schema;
+        # no-op when nothing was widened
+        tbl = pa.table(cols)
+        return tbl if tbl.schema == out_schema else tbl.cast(out_schema)
+
     def merge(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:  # empty exchange partition (may be schema-less)
             return pa.table({f.name: pa.chunked_array([], type=f.type) for f in out_schema},
@@ -280,7 +311,7 @@ def _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
             cols = {name: lt[name] for name in left_names}
             for f in out_right_fields:
                 cols[f.name] = _null_array(nl, f.type)
-            return pa.table(cols, schema=out_schema)
+            return finish(cols)
 
         rts = rt["__rts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
 
@@ -316,6 +347,6 @@ def _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
         cols = {name: lt[name] for name in left_names}
         for f in out_right_fields:
             cols[f.name] = rt[f.name].take(take_idx)
-        return pa.table(cols, schema=out_schema)
+        return finish(cols)
 
     return merge
