@@ -41,14 +41,20 @@ def input_disk_bytes(*datasets) -> int:
     in-memory sources). Never executes a plan."""
     total = 0
     for ds in datasets:
-        try:
-            for f in ds.input_files():
-                try:
-                    total += os.path.getsize(f)
-                except OSError:
-                    pass
-        except Exception:  # noqa: BLE001 - non-file-backed source
-            pass
+        # a transform appended to a read plan makes ds.input_files()
+        # return [] — producers that know their source files tag the
+        # Dataset with `_graft_input_files` (engine/queries.py `_read`)
+        files = getattr(ds, "_graft_input_files", None)
+        if files is None:
+            try:
+                files = ds.input_files()
+            except Exception:  # noqa: BLE001 - non-file-backed source
+                files = []
+        for f in files:
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                pass
     return total
 
 

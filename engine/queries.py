@@ -50,6 +50,13 @@ def _read(sf_dir: str, name: str, columns=None):
         ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns).map_batches(
             lambda t: t.replace_schema_metadata(None),
             batch_format="pyarrow", zero_copy_batch=True)
+        # the appended map_batches makes ds.input_files() return [] (Ray
+        # only resolves it on read ops), which silently zeroed the
+        # data-size-aware partition sizing (join_partitions fell back to
+        # 2x CPUs -> a 64-aggregator-actor storm on a 3MB join; measured
+        # join_orders_customer 3.1s -> 13-16s at 32 CPUs). Tag the source
+        # explicitly; engine.ops.partitioning reads the tag first.
+        ds._graft_input_files = [f"{sf_dir}/{name}.parquet"]
         _READ_CACHE[key] = ds
     return ds
 
