@@ -122,3 +122,20 @@ def test_broadcast_lookup_right_on_keeps_left_name_collision(ray_session):
     assert got["c_nationkey_r"].tolist() == [90, 91, 92]
     assert got["n_name"].tolist() == ["A", "B", "C"]
     assert got["c_nationkey"].tolist() == [0, 1, 2]
+
+
+def test_partition_sizing_sees_through_read_cache(ray_session):
+    """Round-4 regression: the metadata-strip map_batches appended by
+    engine.queries._read made ds.input_files() return [], zeroing
+    input_disk_bytes — join_partitions then fell back to 2x cluster CPUs
+    (a 64-aggregator-actor storm on a 3MB join). The _graft_input_files
+    tag must keep the sizing data-aware."""
+    from engine.ops.partitioning import input_disk_bytes, join_partitions
+    from engine.queries import _read
+
+    orders = _read(SF, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(SF, "customer", columns=["c_custkey"])
+    assert input_disk_bytes(orders, cust) > 0
+    # kilobyte-scale inputs must resolve to the 2-partition floor, never
+    # the unknown-size 2x-CPU fallback
+    assert join_partitions(orders, cust) == 2
