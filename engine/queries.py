@@ -61,8 +61,22 @@ def _read(sf_dir: str, name: str, columns=None):
     return ds
 
 
+def _keep_tag(out, *parents):
+    """Propagate the `_graft_input_files` sizing tag across a transform:
+    transforms return new Dataset objects, so a filtered/mapped read loses
+    the tag (and ds.input_files() is [] past any map op) — a join on the
+    result would then fall back to the unknown-size 2x-CPU partition
+    count. Source bytes over-estimate a filtered child, which errs toward
+    a few more partitions — harmless next to the fallback storm."""
+    files = [f for p in parents for f in getattr(p, "_graft_input_files", [])]
+    if files:
+        out._graft_input_files = files
+    return out
+
+
 def _filter_type(ds, et: str):
-    return ds.map_batches(lambda t: t.filter(pc.equal(t["event_type"], et)), batch_format="pyarrow")
+    return _keep_tag(
+        ds.map_batches(lambda t: t.filter(pc.equal(t["event_type"], et)), batch_format="pyarrow"), ds)
 
 
 # ------------------------------------------------------- as-of / windows --
@@ -70,7 +84,7 @@ def _filter_type(ds, et: str):
 def q_asof_join(sf_dir):
     from engine.ops.asof import asof_join
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
     out = asof_join(_filter_type(ev, "view"), _filter_type(ev, "purchase"),
                     on="user_id", right_cols=["value"])
     return out.select_columns(["event_id", "user_id", "ts", "ts_r", "value_r"])
@@ -79,7 +93,7 @@ def q_asof_join(sf_dir):
 def q_asof_strict(sf_dir):
     from engine.ops.asof import asof_join
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
     out = asof_join(_filter_type(ev, "view"), _filter_type(ev, "purchase"),
                     on="user_id", right_cols=["value"], strict=True)
     return out.select_columns(["event_id", "ts_r", "value_r"])
@@ -88,7 +102,7 @@ def q_asof_strict(sf_dir):
 def q_asof_tolerance(sf_dir):
     from engine.ops.asof import asof_join
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
     out = asof_join(_filter_type(ev, "view"), _filter_type(ev, "purchase"),
                     on="user_id", right_cols=["value"], tolerance_us=3_600_000_000)
     return out.select_columns(["event_id", "ts_r", "value_r"])
@@ -99,7 +113,7 @@ def q_asof_broadcast(sf_dir):
     semantics (and oracle) as asof_join."""
     from engine.ops.asof import asof_join_broadcast
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
     purchases = _filter_type(ev, "purchase").select_columns(["user_id", "ts", "value"])
     out = asof_join_broadcast(_filter_type(ev, "view"), purchases,
                               on="user_id", right_cols=["value"])
@@ -110,7 +124,7 @@ def q_range_join(sf_dir):
     """All purchases within the 24h BEFORE each view (inner interval join)."""
     from engine.ops.rangejoin import range_join
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
     out = range_join(_filter_type(ev, "view"), _filter_type(ev, "purchase"),
                      on="user_id", lo_us=24 * 3600 * 1_000_000, hi_us=0,
                      right_cols=["value"])
@@ -120,7 +134,7 @@ def q_range_join(sf_dir):
 def q_lag_lead(sf_dir):
     from engine.ops.window import with_lag_lead
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
     out = with_lag_lead(ev, entity="user_id", cols=["value"], lags=[1, 2], leads=[1],
                         tie_break="event_id")
     return out.select_columns(["event_id", "lag1_value", "lag2_value", "lead1_value"])
@@ -137,7 +151,7 @@ def q_event_ranks(sf_dir):
 def q_rolling_24h(sf_dir):
     from engine.ops.window import rolling
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
     out = rolling(ev, entity="user_id", cols=["value"], window_us=24 * 3600 * 1_000_000,
                   aggs=["count", "sum", "mean", "min", "max"]).to_pandas()
     return pd.DataFrame({
@@ -153,7 +167,7 @@ def q_rolling_24h(sf_dir):
 def q_expanding(sf_dir):
     from engine.ops.window import expanding
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
     out = expanding(ev, entity="user_id", cols=["value"], aggs=["count", "sum", "min", "max"],
                     tie_break="event_id").to_pandas()
     return pd.DataFrame({
@@ -168,7 +182,7 @@ def q_expanding(sf_dir):
 def q_tumbling_daily(sf_dir):
     from engine.ops.window import tumbling
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
     out = tumbling(ev, entity="user_id", width_us=86_400_000_000).to_pandas()
     out["sum_value"] = sql_round(out["sum_value"], 6)
     return out[["user_id", "window_start", "n_events", "sum_value", "min_value", "max_value"]]
@@ -177,7 +191,7 @@ def q_tumbling_daily(sf_dir):
 def q_sessionize(sf_dir):
     from engine.ops.session import sessionize
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
     out = sessionize(ev, entity="user_id", gap_us=4 * 3600 * 1_000_000, value_col="value",
                      tie_break="event_id").to_pandas()
     out["sum_value"] = sql_round(out["sum_value"], 6)
@@ -188,7 +202,7 @@ def q_backfill_daily(sf_dir):
     from engine.ops.backfill import backfill
     from engine.ops.dedup import exact_dedup
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
 
     def day_grid(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -316,10 +330,10 @@ def q_anti_low_value(sf_dir):
 
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    big = orders.map_batches(
+    big = _keep_tag(orders.map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(400_000.0))),
         batch_format="pyarrow",
-    )
+    ), orders)
     out = anti_join(cust, big, on="c_custkey", right_on="o_custkey").to_pandas()
     if "c_custkey" not in out.columns:  # empty anti result loses schema
         out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
@@ -397,14 +411,14 @@ def q_stratified_sample(sf_dir):
 def q_intersect_buyers_viewers(sf_dir):
     from engine.ops.agg import intersect_keys
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
     return intersect_keys(_filter_type(ev, "view"), _filter_type(ev, "purchase"), on="user_id")
 
 
 def q_except_viewers_only(sf_dir):
     from engine.ops.agg import except_keys
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
     out = except_keys(_filter_type(ev, "view"), _filter_type(ev, "purchase"),
                       on="user_id").to_pandas()
     if "user_id" not in out.columns:  # empty anti result loses schema (Ray join quirk)
@@ -438,7 +452,7 @@ def q_minmax_by_type(sf_dir):
 
 
 def q_union_counts(sf_dir):
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["event_type"])
     u = _filter_type(ev, "view").union(_filter_type(ev, "purchase"))
     return pd.DataFrame({"n": [u.count()]})
 
@@ -454,19 +468,20 @@ def q3_shipping_priority(sf_dir):
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
     cutoff = pd.Timestamp("1995-03-15")
 
-    bld = cust.map_batches(lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
-                           batch_format="pyarrow")
-    o = orders.map_batches(lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
-                           batch_format="pyarrow")
-    l = li.map_batches(lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff))),
-                       batch_format="pyarrow")
+    bld = _keep_tag(cust.map_batches(lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+                                     batch_format="pyarrow"), cust)
+    o = _keep_tag(orders.map_batches(lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+                                     batch_format="pyarrow"), orders)
+    l = _keep_tag(li.map_batches(lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff))),
+                                 batch_format="pyarrow"), li)
 
     def revenue(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
 
-    j = equi_join(o, bld, on="o_custkey", right_on="c_custkey", join_type="left_semi")
-    j = equi_join(l.map_batches(revenue, batch_format="pyarrow"), j,
+    j = _keep_tag(equi_join(o, bld, on="o_custkey", right_on="c_custkey", join_type="left_semi"),
+                  o, bld)
+    j = equi_join(_keep_tag(l.map_batches(revenue, batch_format="pyarrow"), l), j,
                   on="l_orderkey", right_on="o_orderkey")
     out = (
         j.groupby(["l_orderkey", "o_orderdate"])
