@@ -572,9 +572,16 @@ def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
             return pa.table({id_col: t[id_col], "n": pa.array(n - s)})
 
         size_ds = size_ds.map_batches(subtract, batch_format="pyarrow")
-    j = broadcast_lookup(common, size_ds, on="a", right_on=id_col)
+    # ONE execution of the size pipeline: size_ds derives from the lazy
+    # shingling plan, and broadcast_lookup fully materializes its small
+    # side per call — passing the Dataset twice re-ran shingle_sets +
+    # totals twice (shingling executed 3x per query overall). The
+    # per-doc table is the documented small-scale broadcast path (see
+    # docstring: swap for equi_join at ~10^10+ docs).
+    size_pdf = size_ds.to_pandas()
+    j = broadcast_lookup(common, size_pdf, on="a", right_on=id_col)
     j = j.rename_columns({"n": "na"})
-    j = broadcast_lookup(j, size_ds, on="b", right_on=id_col).rename_columns({"n": "nb"})
+    j = broadcast_lookup(j, size_pdf, on="b", right_on=id_col).rename_columns({"n": "nb"})
 
     def jac(t: pa.Table) -> pa.Table:
         c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
