@@ -19,8 +19,11 @@ num_cpus=8 and 32 (GRAFT_SCALING_CPUS to override) on the same cached
 input, GRAFT_SCALING_REPEATS times, and reports every run, per-stage
 walls, hypervisor steal% per run, medians, and raw + steal-corrected
 per-pair efficiencies ((T_lo/T_hi)/(hi/lo); 1.0 = linear). Campaign
-results and methodology: BASELINE.md round-2 section (960k-image pairs:
-0.846/0.888/0.713, median 0.846).
+results and methodology: BASELINE.md "Round-4 scaling summary" (25
+protocol-identical 1.44M-image pairs across five campaigns: pooled raw
+median 0.733, best pair per campaign 0.793-0.903) and the round-2
+960k-image section (0.846/0.888/0.713, median 0.846, pre-optimization
+engine).
 """
 
 from __future__ import annotations
