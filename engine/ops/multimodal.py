@@ -185,12 +185,15 @@ class VideoFrameSampleStage:
 
 
 def decode_stage(ds, stage_cls, batch_size: int = 64, concurrency=None, **kwargs):
-    """Attach a multimodal decode/feature stage as an actor pool with the
-    small-batch sizing binary payloads need. Default pool bounds autoscale
-    to the cluster CPU count (min 1 actor — cheap on small runs)."""
-    if concurrency is None:
-        from engine.ops.partitioning import _cpus
+    """Attach a multimodal decode/feature stage with the small-batch sizing
+    binary payloads need. Default: a STATELESS TASK with the stage instance
+    cached per worker process (engine/ops/util.py stage_task — no per-query
+    actor-pool startup, scales to every task slot). Pass `concurrency` to
+    force an actor pool instead (state too heavy to replicate per worker)."""
+    if concurrency is not None:
+        return ds.map_batches(stage_cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size, concurrency=concurrency)
+    from engine.ops.util import stage_task
 
-        concurrency = (1, max(4, _cpus()))
-    return ds.map_batches(stage_cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=batch_size, concurrency=concurrency)
+    return ds.map_batches(stage_task, fn_kwargs={"_stage_cls": stage_cls, **kwargs},
+                          batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)

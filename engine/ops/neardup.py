@@ -423,13 +423,15 @@ def minhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
     from engine.ops.partitioning import _cpus
 
     rows = num_perm // bands
-    # autoscaling actor pool sized to the CLUSTER: a fixed small cap would
-    # bottleneck the signature stage on a many-node cluster; min 1 actor
-    # keeps small (contract-scale) runs cheap
+    # stateless signature task with the MinHasher cached per worker process
+    # (engine/ops/util.py stage_task): scales to every task slot on the
+    # cluster, fuses with the read, and skips per-query actor-pool startup
+    from engine.ops.util import stage_task
+
     sigs = ds.map_batches(
-        MinHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
-                                          "num_perm": num_perm, "k_shingle": k_shingle, "seed": seed},
-        batch_format="pyarrow", concurrency=(1, max(4, _cpus())),
+        stage_task, fn_kwargs={"_stage_cls": MinHasher, "id_col": id_col, "text_col": text_col,
+                               "num_perm": num_perm, "k_shingle": k_shingle, "seed": seed},
+        batch_format="pyarrow",
     )
     banded = sigs.map_batches(lambda t: band_rows(t, id_col, bands, rows), batch_format="pyarrow")
     cands = candidate_pairs(banded, id_col, max_bucket=max_bucket)
@@ -662,11 +664,12 @@ def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_ham
     Buckets above ``max_bucket`` verify a STAR on the min member instead
     of the full O(B^2) Hamming matrix (see _bucket_pair_indices)."""
     from engine.ops.dedup import exact_dedup
+    from engine.ops.util import stage_task
 
-    from engine.ops.partitioning import _cpus
-
-    sigs = ds.map_batches(SimHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
-                          batch_format="pyarrow", concurrency=(1, max(4, _cpus())))
+    # stateless task + per-worker cache: see minhash_near_dup's rationale
+    sigs = ds.map_batches(stage_task,
+                          fn_kwargs={"_stage_cls": SimHasher, "id_col": id_col, "text_col": text_col},
+                          batch_format="pyarrow")
 
     def explode(t: pa.Table) -> pa.Table:
         h = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)

@@ -62,14 +62,15 @@ class PiiScrubber:
 
 
 def pii_scrub(ds, id_col: str = "doc_id", text_col: str = "text"):
-    from engine.ops.partitioning import _cpus
+    from engine.ops.util import stage_task
 
+    # stateless task + per-worker cache (engine/ops/util.py stage_task):
+    # fuses with the read and skips per-query actor-pool startup
     return ds.map_batches(
-        PiiScrubber,
-        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        stage_task,
+        fn_kwargs={"_stage_cls": PiiScrubber, "id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, max(4, _cpus())),  # autoscale to the cluster
     )
 
 

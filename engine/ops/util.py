@@ -55,3 +55,33 @@ def drop_empty_blocks(ds):
     if not refs:
         return ds
     return rd.from_arrow_refs(refs)
+
+
+# ------------------------------------------------- stateless stage tasks --
+
+# Per-worker-process instance cache for stateful batch-transform classes
+# run as PLAIN TASKS instead of actor pools. Rationale (measured, round 4):
+# every `map_batches(Cls, concurrency=...)` call builds a NEW actor pool
+# and bills its startup to that dataset (~1.7 s for a 32-CPU autoscale
+# pool), while Ray Data TASK workers are long-lived processes reused
+# across datasets in the same session — a module-level cache amortizes
+# construction exactly like actor __init__ state but pays it ONCE PER
+# SESSION, not once per query (driver contract: 71 queries). Stateless
+# map tasks also fuse with the upstream read; actor stages never fuse
+# with task stages. A/B on the sf0.01 MinHash signature stage at 32
+# CPUs: actor pool 1.7 s per call, stateless task 0.12 s warm.
+# Use an actor pool ONLY for state too heavy to replicate per worker
+# process (a large model) or that must not be shared process-wide.
+_STAGE_STATE: dict = {}
+
+
+def stage_task(batch, _stage_cls=None, **kwargs):
+    """`map_batches(stage_task, fn_kwargs={"_stage_cls": Cls, **ctor_kwargs})`
+    — constructs Cls(**ctor_kwargs) once per worker process per distinct
+    config and applies it to every batch."""
+    key = (_stage_cls.__module__, _stage_cls.__qualname__,
+           tuple(sorted(kwargs.items())))
+    inst = _STAGE_STATE.get(key)
+    if inst is None:
+        inst = _STAGE_STATE[key] = _stage_cls(**kwargs)
+    return inst(batch)

@@ -15,13 +15,12 @@ def _read(sf_dir: str, name: str, columns=None):
     return _r(sf_dir, name, columns)
 
 
-def _pool() -> tuple:
-    """Actor-pool bounds that autoscale to the cluster (min 1 actor so
-    contract-scale runs pay one startup, max = CPU count so a many-node
-    cluster is never capped at a constant)."""
-    from engine.ops.partitioning import _cpus
-
-    return (1, max(4, _cpus()))
+# Stateless text stages: every class stage runs via engine.ops.util.stage_task
+# (instance cached per worker PROCESS, keyed by class+config) instead of a
+# per-call actor pool — Ray task workers are long-lived across queries in a
+# session, so the contract suite pays construction once, not per query, and
+# the stage fuses with its parquet read (measured A/B in util.py docstring).
+from engine.ops.util import stage_task as _stage
 
 
 # ------------------------------------------------------------- text ops --
@@ -30,14 +29,14 @@ def q_token_counts(sf_dir):
     from engine.ops.textstats import TokenCounter
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(TokenCounter, batch_format="pyarrow", concurrency=_pool())
+    return docs.map_batches(_stage, fn_kwargs={"_stage_cls": TokenCounter}, batch_format="pyarrow")
 
 
 def q_quality_components(sf_dir):
     from engine.ops.textstats import QualityScorer
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(QualityScorer, batch_format="pyarrow", concurrency=_pool())
+    out = docs.map_batches(_stage, fn_kwargs={"_stage_cls": QualityScorer}, batch_format="pyarrow")
     return out.select_columns(["doc_id", "n_chars", "n_nonspace", "n_digits", "n_punct"])
 
 
@@ -45,7 +44,7 @@ def q_quality_score(sf_dir):
     from engine.ops.textstats import QualityScorer
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(QualityScorer, batch_format="pyarrow", concurrency=_pool())
+    out = docs.map_batches(_stage, fn_kwargs={"_stage_cls": QualityScorer}, batch_format="pyarrow")
     return out.select_columns(["doc_id", "quality_score"])
 
 
@@ -53,14 +52,14 @@ def q_lang_id(sf_dir):
     from engine.ops.textstats import LangId
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=_pool())
+    return docs.map_batches(_stage, fn_kwargs={"_stage_cls": LangId}, batch_format="pyarrow")
 
 
 def q_fingerprints(sf_dir):
     from engine.ops.textstats import Fingerprinter
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=_pool())
+    return docs.map_batches(_stage, fn_kwargs={"_stage_cls": Fingerprinter}, batch_format="pyarrow")
 
 
 def q_pii_scrub(sf_dir):
@@ -90,7 +89,7 @@ def q_repetition_stats(sf_dir):
     from engine.ops.textstats import RepetitionStats
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(RepetitionStats, batch_format="pyarrow", concurrency=_pool())
+    return docs.map_batches(_stage, fn_kwargs={"_stage_cls": RepetitionStats}, batch_format="pyarrow")
 
 
 def q_decontaminate(sf_dir):
@@ -128,7 +127,7 @@ def q_pack_sequences(sf_dir):
     from engine.ops.textstats import TokenCounter
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    toks = docs.map_batches(TokenCounter, batch_format="pyarrow", concurrency=_pool())
+    toks = docs.map_batches(_stage, fn_kwargs={"_stage_cls": TokenCounter}, batch_format="pyarrow")
     toks = toks.select_columns(["doc_id", "n_tokens_ws"])
     return pack_sequences(toks, max_tokens=256, tok_col="n_tokens_ws",
                           num_partitions=16)
