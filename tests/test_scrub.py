@@ -156,3 +156,34 @@ def test_row_number_matches_duckdb(ray_session):
         "SELECT event_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
         "FROM events ORDER BY event_id").df()
     assert list(got["rn"]) == list(exp["rn"])
+
+
+def test_stage_task_caches_per_config(ray_session):
+    """stage_task (round 4): the per-worker instance cache must key on
+    class + constructor kwargs — two stages with different configs in one
+    pipeline may land on the same worker process and must not share an
+    instance; the same config must reuse one."""
+    import pyarrow as pa
+
+    from engine.ops.util import _STAGE_STATE, stage_task
+
+    built = []
+
+    class Tagger:
+        def __init__(self, tag="x"):
+            self.tag = tag
+            built.append(tag)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.append_column("tag", pa.array([self.tag] * t.num_rows))
+
+    t = pa.table({"a": [1, 2]})
+    # driver-side direct calls exercise the same cache the workers use
+    out1 = stage_task(t, _stage_cls=Tagger, tag="p")
+    out2 = stage_task(t, _stage_cls=Tagger, tag="q")
+    out3 = stage_task(t, _stage_cls=Tagger, tag="p")  # cache hit
+    assert out1["tag"][0].as_py() == "p" and out2["tag"][0].as_py() == "q"
+    assert out3["tag"][0].as_py() == "p"
+    assert built == ["p", "q"]  # one construction per distinct config
+    keys = [k for k in _STAGE_STATE if k[1].endswith("Tagger")]
+    assert len(keys) == 2
