@@ -461,7 +461,8 @@ def minhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
-                           k: int = 3, threshold: float = 0.5, df_cap: int = 256):
+                           k: int = 3, threshold: float = 0.5, df_cap: int = 256,
+                           size_broadcast_threshold: int = 2_000_000):
     """Exact word-k-gram Jaccard near-dup (no sketch) over SUB-CAP
     shingles: shingles with document frequency > df_cap are stop
     shingles — removed from the similarity measure entirely (stopword
@@ -496,9 +497,14 @@ def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
     On any corpus where no shingle exceeds df_cap (both test scales:
     max df 25) this equals full-set Jaccard exactly. Every rule is
     SQL-expressible, so the DuckDB oracle matches value-exactly.
-    -> Dataset(a, b, jaccard). At doc counts where a per-doc size table
-    no longer broadcasts (~10^10+), swap the two broadcast_lookup calls
-    for equi_join — same semantics."""
+    -> Dataset(a, b, jaccard).
+
+    The per-doc size table is SIZE-DISPATCHED like dup_groups: at or
+    below ``size_broadcast_threshold`` docs (2M rows ~= 32 MB) it is
+    broadcast (ray.put once, binary-searched per batch — no shuffle);
+    above it the two lookups become hash equi-joins onto the pair list,
+    so nothing doc-count-sized ever reaches the driver heap. The two
+    paths are parity-tested identical (tests/test_neardup.py)."""
     from ray.data.aggregate import Count, Sum
 
     from engine.ops.join import broadcast_lookup
@@ -575,15 +581,24 @@ def ngram_jaccard_near_dup(ds, id_col: str = "doc_id", text_col: str = "text",
 
         size_ds = size_ds.map_batches(subtract, batch_format="pyarrow")
     # ONE execution of the size pipeline: size_ds derives from the lazy
-    # shingling plan, and broadcast_lookup fully materializes its small
-    # side per call — passing the Dataset twice re-ran shingle_sets +
-    # totals twice (shingling executed 3x per query overall). The
-    # per-doc table is the documented small-scale broadcast path (see
-    # docstring: swap for equi_join at ~10^10+ docs).
-    size_pdf = size_ds.to_pandas()
-    j = broadcast_lookup(common, size_pdf, on="a", right_on=id_col)
-    j = j.rename_columns({"n": "na"})
-    j = broadcast_lookup(j, size_pdf, on="b", right_on=id_col).rename_columns({"n": "nb"})
+    # shingling plan, and both consumers below fully materialize or join
+    # against it — passing the lazy Dataset twice re-ran shingle_sets +
+    # totals twice (shingling executed 3x per query overall).
+    size_ds = size_ds.materialize()
+    if size_ds.count() <= size_broadcast_threshold:
+        size_pdf = size_ds.to_pandas()
+        j = broadcast_lookup(common, size_pdf, on="a", right_on=id_col)
+        j = j.rename_columns({"n": "na"})
+        j = broadcast_lookup(j, size_pdf, on="b", right_on=id_col).rename_columns({"n": "nb"})
+    else:
+        from engine.ops.join import equi_join
+
+        # chained hash joins: materialize between them so the first
+        # join's aggregator actors release their CPUs before the second
+        # spins up (same deadlock rationale as _verify_jaccard_distributed)
+        j = equi_join(common.materialize(), size_ds, on="a", right_on=id_col)
+        j = j.rename_columns({"n": "na"}).materialize()
+        j = equi_join(j, size_ds, on="b", right_on=id_col).rename_columns({"n": "nb"})
 
     def jac(t: pa.Table) -> pa.Table:
         c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)

@@ -21,17 +21,31 @@ from engine.ops.keys import stable_hash
 
 def plan_salts(ds, key: str, sample_frac: float = 0.05, threshold: float | None = None,
                max_salt: int | None = None, seed: int = 42) -> dict:
-    """-> {key_value: fanout S} for hot keys only (driver-side small dict)."""
+    """-> {key_value: fanout S} for hot keys only (driver-side small dict).
+
+    The sampled histogram stays DISTRIBUTED end-to-end: per-key counts
+    are a Dataset groupby over the sample, the count mean is two scalar
+    aggregates, and only keys ABOVE the hot threshold are pulled to the
+    driver — small by definition (a key is hot precisely because few keys
+    can be). The round-3 form pulled the whole sample (fraction of the
+    corpus, ~5x10^9 keys at 10^11 rows) onto the driver heap."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
     threshold = threshold or DEFAULT.salt_threshold
     max_salt = max_salt or DEFAULT.max_salt
-    sample = ds.select_columns([key]).random_sample(sample_frac, seed=seed).to_pandas()
-    if len(sample) == 0:
+    grouped = (ds.select_columns([key]).random_sample(sample_frac, seed=seed)
+               .groupby(key).aggregate(Count(alias_name="__cnt")).materialize())
+    nkeys = grouped.count()
+    if nkeys == 0:
         return {}
-    counts = sample[key].value_counts()
-    mean = counts.mean()
-    hot = counts[counts > threshold * mean]
+    total = grouped.sum("__cnt")
+    mean = total / nkeys
+    hot = grouped.map_batches(
+        lambda t: t.filter(pc.greater(t["__cnt"], threshold * mean)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     out = {}
-    for k, c in hot.items():
+    for k, c in zip(hot[key], hot["__cnt"]):
         s = int(min(max_salt, 2 ** int(np.ceil(np.log2(max(2.0, c / mean))))))
         out[k] = s
     return out

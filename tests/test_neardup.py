@@ -314,6 +314,23 @@ def test_ngram_jaccard_df_cap_drops_stop_shingles(ray_session):
     assert (100, 101) in pairs
 
 
+def test_ngram_jaccard_join_path_matches_broadcast(ray_session, docs_with_dups):
+    """size_broadcast_threshold=0 forces the per-doc size table through
+    the distributed equi-join path; results must be identical to the
+    default broadcast path (same pairs, same jaccard values)."""
+    import ray.data as rd
+
+    from engine.ops.neardup import ngram_jaccard_near_dup
+
+    ds = rd.from_pandas(docs_with_dups)
+    key = lambda df: df.assign(a=df[["a", "b"]].min(axis=1), b=df[["a", "b"]].max(axis=1)) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    bc = key(ngram_jaccard_near_dup(ds, threshold=0.5).to_pandas())
+    jn = key(ngram_jaccard_near_dup(ds, threshold=0.5,
+                                    size_broadcast_threshold=0).to_pandas())
+    pd.testing.assert_frame_equal(bc[["a", "b", "jaccard"]], jn[["a", "b", "jaccard"]])
+
+
 def test_dup_groups_auto_dispatch_matches_distributed(ray_session):
     import ray.data as rd
 
