@@ -127,6 +127,71 @@ class QualityScorer:
         })
 
 
+class GopherFilter:
+    """Gopher-rule quality gate (Rae et al. 2022, appendix A1 subset —
+    the rules expressible over this corpus's flat token text): word-count
+    bounds, mean-word-length bounds, minimum stopword ratio. Emits only
+    SURVIVING docs plus the decision components, all computed with the
+    same word semantics as QualityScorer ([a-z]+ over lowercased text),
+    so the DuckDB oracle (list_filter/list_transform over
+    string_split_regex) matches value-exactly. One vectorized pass per
+    batch — split once, segment-sum word count / word chars / stop hits
+    by list offsets; no per-doc loop."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 min_words: int = 40, max_words: int = 100_000,
+                 min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                 min_stop_ratio: float = 0.01):
+        self.stop_set = pa.array(sorted(STOPWORDS))
+        self.id_col, self.text_col = id_col, text_col
+        self.min_words, self.max_words = min_words, max_words
+        self.min_mean_wl, self.max_mean_wl = min_mean_wl, max_mean_wl
+        self.min_stop_ratio = min_stop_ratio
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z]+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.values
+        offs = words.offsets.to_numpy().astype(np.int64)
+        wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        is_word = wl > 0
+        is_stop = pc.and_(pc.is_in(flat, value_set=self.stop_set),
+                          pa.array(is_word)).to_numpy(zero_copy_only=False)
+
+        def seg(x):
+            cum = np.zeros(len(flat) + 1, np.int64)
+            np.cumsum(x, out=cum[1:])
+            return cum[offs[1:]] - cum[offs[:-1]]
+
+        n_words = seg(is_word.astype(np.int64))
+        n_stop = seg(is_stop.astype(np.int64))
+        wchars = seg(wl)  # empty segments contribute 0 chars by definition
+        nz = np.maximum(n_words, 1)
+        mean_wl = wchars / nz
+        stop_ratio = n_stop / nz
+        keep = ((n_words >= self.min_words) & (n_words <= self.max_words)
+                & (mean_wl >= self.min_mean_wl) & (mean_wl <= self.max_mean_wl)
+                & (stop_ratio >= self.min_stop_ratio))
+        m = pa.array(keep)
+        return pa.table({
+            self.id_col: col_take(t[self.id_col], m),
+            "n_words": pa.array(n_words[keep]),
+            "mean_word_len": pa.array(np.round(mean_wl[keep], 6)),
+            "stop_ratio": pa.array(np.round(stop_ratio[keep], 6)),
+        })
+
+
+def col_take(col, mask: pa.Array):
+    """filter a possibly-chunked column by a boolean mask."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.filter(mask)
+
+
 # ---------------------------------------------------------- language id --
 
 # Tiny embedded char-trigram profiles (top trigrams from public word

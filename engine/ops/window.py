@@ -126,6 +126,58 @@ def with_row_number(
     return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")
 
 
+def with_ranks(
+    ds,
+    entity: str,
+    order_col: str,
+    tie_break: str | None = None,
+    ntile: int | None = None,
+    rank_col: str = "rnk",
+    dense_col: str = "drnk",
+    ntile_col: str = "nt",
+    num_partitions: int | None = None,
+):
+    """SQL ranking family in ONE entity-hash exchange: RANK() and
+    DENSE_RANK() OVER (PARTITION BY entity ORDER BY order_col), plus
+    NTILE(n) OVER (... ORDER BY order_col, tie_break) when ``ntile`` is
+    set (NTILE is row-order dependent, so it needs the tie break for
+    determinism; rank/dense_rank are peer-aware and don't). All three are
+    vectorized run arithmetic over the one partition-local sort — no
+    per-group loop. order_col: ints / timestamps (value-run detection is
+    exact equality). Value-exact DuckDB oracle: engine/queries.py
+    "event_rank_stats"."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = _strip(t)
+        pairs = [(rank_col, pa.int64()), (dense_col, pa.int64())]
+        if ntile:
+            pairs.append((ntile_col, pa.int64()))
+        if t.num_rows == 0:
+            return _with_empty(t, pairs)
+        t, _codes, vals, change = entity_sort(t, entity, order_col, tie_break)
+        n = t.num_rows
+        starts, ends, seg_id, pos = segments(change)
+        vrun = change.copy()
+        vrun[1:] |= vals[1:] != vals[:-1]
+        idx = np.arange(n)
+        vstart = np.maximum.accumulate(np.where(vrun, idx, 0))
+        rank = pos[vstart] + 1
+        vcum = np.cumsum(vrun)
+        dense = vcum - vcum[idx - pos] + 1
+        t = t.append_column(rank_col, pa.array(rank.astype(np.int64)))
+        t = t.append_column(dense_col, pa.array(dense.astype(np.int64)))
+        if ntile:
+            L = (ends - starts)[seg_id]
+            q, r = L // ntile, L % ntile
+            big_span = r * (q + 1)  # first r buckets take q+1 rows each
+            small = r + (pos - big_span) // np.maximum(q, 1) + 1
+            nt = np.where(pos < big_span, pos // (q + 1) + 1, small)
+            t = t.append_column(ntile_col, pa.array(nt.astype(np.int64)))
+        return t
+
+    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")
+
+
 def rolling(
     ds,
     entity: str,

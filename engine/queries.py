@@ -148,6 +148,23 @@ def q_event_ranks(sf_dir):
     return out.select_columns(["event_id", "rn"])
 
 
+def q_event_rank_stats(sf_dir):
+    """RANK / DENSE_RANK / NTILE(4) per user over a coarsened value
+    (floor(value) — real ties, so the three functions genuinely differ).
+    Value-exact vs the DuckDB window functions."""
+    import pyarrow.compute as pc
+
+    from engine.ops.window import with_ranks
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    ev = ev.map_batches(
+        lambda t: t.append_column("coarse", pc.cast(pc.floor(t["value"]), pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = with_ranks(ev, entity="user_id", order_col="coarse",
+                     tie_break="event_id", ntile=4, ntile_col="nt4")
+    return out.select_columns(["event_id", "user_id", "coarse", "rnk", "drnk", "nt4"])
+
+
 def q_rolling_24h(sf_dir):
     from engine.ops.window import rolling
 
@@ -669,6 +686,16 @@ ORACLE_SQL = {
         SELECT event_id,
                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         FROM events""",
+    "event_rank_stats": """
+        SELECT event_id, user_id,
+               CAST(floor(value) AS BIGINT) AS coarse,
+               RANK() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(value) AS BIGINT)) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(floor(value) AS BIGINT)) AS drnk,
+               NTILE(4) OVER (PARTITION BY user_id
+                              ORDER BY CAST(floor(value) AS BIGINT), event_id) AS nt4
+        FROM events""",
     "lag_lead": """
         SELECT event_id,
                LAG(value, 1) OVER w AS lag1_value,
@@ -882,6 +909,7 @@ QUERIES = {
     "asof_broadcast": q_asof_broadcast,
     "range_join": q_range_join,
     "event_ranks": q_event_ranks,
+    "event_rank_stats": q_event_rank_stats,
     "lag_lead": q_lag_lead,
     "rolling_24h": q_rolling_24h,
     "expanding": q_expanding,

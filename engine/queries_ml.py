@@ -48,6 +48,16 @@ def q_quality_score(sf_dir):
     return out.select_columns(["doc_id", "quality_score"])
 
 
+def q_gopher_quality_filter(sf_dir):
+    """Gopher-rule quality gate (Rae et al. 2022 A1 subset): word-count,
+    mean-word-length and stopword-ratio bounds; only survivors emitted.
+    Value-exact vs DuckDB (shared [a-z]+ word semantics)."""
+    from engine.ops.textstats import GopherFilter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(_stage, fn_kwargs={"_stage_cls": GopherFilter}, batch_format="pyarrow")
+
+
 def q_lang_id(sf_dir):
     from engine.ops.textstats import LangId
 
@@ -74,6 +84,24 @@ def q_chunk_documents(sf_dir):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return chunk_documents(docs, size=512, overlap=64)
+
+
+def q_line_dedup(sf_dir):
+    """C4-style corpus-level line dedup (Raffel et al. 2020 §2.2: keep
+    one occurrence of any line repeated across the corpus). The synthetic
+    texts carry no newlines, so "lines" here are the deterministic
+    64-char chunk grid (same substr arithmetic as the chunk_documents
+    oracle); docs are rebuilt from their surviving lines joined by \\n.
+    Value-exact vs DuckDB (row_number-over-line + string_agg)."""
+    from engine.ops.dedup import exact_dedup, reassemble_lines
+    from engine.ops.scrub import chunk_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    lines = chunk_documents(docs, size=64, overlap=0).select_columns(
+        ["doc_id", "chunk_idx", "chunk_text"])
+    kept = exact_dedup(lines, keys=["chunk_text"], order_by=["doc_id", "chunk_idx"])
+    return reassemble_lines(kept, id_col="doc_id", pos_col="chunk_idx",
+                            line_col="chunk_text", sep="\n")
 
 
 def q_top_bigrams(sf_dir):
@@ -427,6 +455,21 @@ ORACLE_SQL_ML = {
         FROM (SELECT doc_id, text,
                      unnest(range(0, 1 + CAST(ceil(greatest(length(text) - 512, 0) / 448.0) AS BIGINT))) AS i
               FROM documents)""",
+    "line_dedup": """
+        WITH lines AS (
+          SELECT doc_id, i AS chunk_idx, substr(text, 1 + i * 64, 64) AS chunk_text
+          FROM (SELECT doc_id, text,
+                       unnest(range(0, 1 + CAST(ceil(greatest(length(text) - 64, 0) / 64.0) AS BIGINT))) AS i
+                FROM documents)),
+        kept AS (
+          SELECT *, row_number() OVER (PARTITION BY chunk_text
+                                       ORDER BY doc_id, chunk_idx) AS rn
+          FROM lines)
+        SELECT doc_id,
+               string_agg(chunk_text, chr(10) ORDER BY chunk_idx) AS text,
+               count(*) AS n_lines
+        FROM kept WHERE rn = 1
+        GROUP BY doc_id""",
     "top_bigrams": r"""
         WITH toks AS (
           SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -534,6 +577,27 @@ ORACLE_SQL_ML = {
                COALESCE(h.n_hits, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % 97 <> 0""",
+    "gopher_quality_filter": r"""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                     x -> length(x) > 0) AS ws
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 len(ws) AS n_words,
+                 COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS wchars,
+                 len(list_filter(ws, x -> list_contains(
+                     ['the','a','an','and','or','of','to','in','is','are','was',
+                      'were','be','been','it','this','that','for','on','with',
+                      'as','at','by','from'], x))) AS n_stop
+          FROM w)
+        SELECT doc_id, n_words,
+               ROUND(wchars::DOUBLE / greatest(n_words, 1), 6) AS mean_word_len,
+               ROUND(n_stop::DOUBLE / greatest(n_words, 1), 6) AS stop_ratio
+        FROM c
+        WHERE n_words BETWEEN 40 AND 100000
+          AND wchars::DOUBLE / greatest(n_words, 1) BETWEEN 3.0 AND 10.0
+          AND n_stop::DOUBLE / greatest(n_words, 1) >= 0.01""",
     "quality_components": r"""
         SELECT doc_id,
                length(text) AS n_chars,
@@ -580,6 +644,8 @@ QUERIES_ML = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "chunk_documents": q_chunk_documents,
+    "line_dedup": q_line_dedup,
+    "gopher_quality_filter": q_gopher_quality_filter,
     "top_bigrams": q_top_bigrams,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,

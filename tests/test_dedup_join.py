@@ -139,3 +139,33 @@ def test_partition_sizing_sees_through_read_cache(ray_session):
     # kilobyte-scale inputs must resolve to the 2-partition floor, never
     # the unknown-size 2x-CPU fallback
     assert join_partitions(orders, cust) == 2
+
+
+def test_line_dedup_planted_and_partition_invariant(ray_session):
+    """C4 line dedup: a line shared across docs survives only in its
+    (doc_id, pos)-first home; docs losing every line drop out; the result
+    is invariant to the shuffle partition count."""
+    import ray.data as rd
+
+    from engine.ops.dedup import line_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["keep one\nshared boiler\nuniq a",
+                 "shared boiler\nuniq b",
+                 "uniq c\nshared boiler",
+                 "shared boiler",          # loses its only line -> drops out
+                 "uniq d\nuniq d"],        # intra-doc repeat: keeps first only
+    })
+
+    def run(P):
+        out = line_dedup(rd.from_pandas(docs), num_partitions=P).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    out = run(None)
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got == {1: "keep one\nshared boiler\nuniq a",
+                   2: "uniq b", 3: "uniq c", 5: "uniq d"}
+    assert dict(zip(out["doc_id"], out["n_lines"])) == {1: 3, 2: 1, 3: 1, 5: 1}
+    for P in (1, 3, 16):
+        pd.testing.assert_frame_equal(run(P), out)

@@ -77,3 +77,33 @@ def test_sessions_and_rolling_partition_invariant(ray_session, P):
     else:
         np.testing.assert_array_equal(lab, store["_b"][0])
         np.testing.assert_allclose(rol, store["_b"][1], rtol=1e-12)
+
+
+@pytest.mark.parametrize("P", [1, 3, 16])
+def test_ranks_partition_invariant(ray_session, P):
+    """with_ranks (RANK/DENSE_RANK/NTILE) must be partition-count
+    invariant, including a duckdb cross-check at P=1."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.ops.window import with_ranks
+
+    ev = _ev(ray_session).map_batches(
+        lambda t: t.append_column("coarse", pc.cast(pc.floor(t["value"]), pa.int64())),
+        batch_format="pyarrow")
+    got = (with_ranks(ev, entity="user_id", order_col="coarse",
+                      tie_break="event_id", ntile=3, num_partitions=P)
+           .to_pandas()[["event_id", "rnk", "drnk", "nt"]]
+           .sort_values("event_id").reset_index(drop=True))
+    if not hasattr(test_ranks_partition_invariant, "_baseline"):
+        ref = duckdb.sql(f"""
+            SELECT event_id,
+                   RANK() OVER (PARTITION BY user_id ORDER BY CAST(floor(value) AS BIGINT)) AS rnk,
+                   DENSE_RANK() OVER (PARTITION BY user_id ORDER BY CAST(floor(value) AS BIGINT)) AS drnk,
+                   NTILE(3) OVER (PARTITION BY user_id ORDER BY CAST(floor(value) AS BIGINT), event_id) AS nt
+            FROM read_parquet('{SF}/events.parquet') ORDER BY event_id""").df()
+        pd.testing.assert_frame_equal(got, ref)
+        test_ranks_partition_invariant._baseline = got
+    else:
+        pd.testing.assert_frame_equal(got, test_ranks_partition_invariant._baseline)
