@@ -72,32 +72,43 @@ def _final_topk(t: pa.Table, id_col: str, k: int) -> pa.Table:
 
 def build_ivf(ds, n_centroids: int = 16, id_col: str = "vec_id", emb_col: str = "embedding",
               sample_frac: float = 0.2, seed: int = 42,
-              max_sample_rows: int = 131_072):
+              max_sample_rows: int = 131_072, lloyd_iters: int = 1):
     """-> (indexed Dataset with centroid_id column, centroids ndarray).
-    Centroids = k-means with one Lloyd step over a sample (content-
-    deterministic splitmix64(id) draw — identical across partitionings
-    and cluster sizes, unlike ``random_sample`` whose draw depends on
-    the physical plan; driver pull absolutely capped at
-    ``max_sample_rows``); assignment = one broadcast map pass."""
+    Default (lloyd_iters=1): centroids = k-means with one Lloyd step over
+    a sample (content-deterministic splitmix64(id) draw — identical
+    across partitionings and cluster sizes, unlike ``random_sample``
+    whose draw depends on the physical plan; driver pull absolutely
+    capped at ``max_sample_rows``). lloyd_iters > 1: distributed
+    spherical k-means over the FULL dataset (engine/ops/kmeans.py —
+    streaming partial-sum rounds, k-means++ init on the same capped
+    deterministic sample), the standard IVF trainer when index quality
+    matters more than build passes. Assignment = one broadcast map pass."""
     import ray
 
     from engine.ops.agg import deterministic_sample
 
-    cols = ds.select_columns([id_col, emb_col])
-    n_rows = cols.count()
-    frac = min(sample_frac, max_sample_rows / max(1, n_rows))
-    samp = deterministic_sample(cols, id_col, frac, hash_fn="splitmix64").to_pandas()
-    if len(samp) < max(n_centroids, 1):
-        samp = cols.limit(max_sample_rows).to_pandas()
-    m = _normalize(np.stack(samp.sort_values(id_col)[emb_col].to_numpy()).astype(np.float64))
-    rng = np.random.default_rng(seed)
-    init = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
-    # one Lloyd refinement
-    assign = np.argmax(m @ init.T, axis=1)
-    cents = np.stack([
-        _normalize(m[assign == c].mean(axis=0, keepdims=True))[0] if (assign == c).any() else init[c]
-        for c in range(len(init))
-    ])
+    if lloyd_iters > 1:
+        from engine.ops.kmeans import kmeans_fit
+
+        cents = kmeans_fit(ds, k=n_centroids, emb_col=emb_col, id_col=id_col,
+                           iters=lloyd_iters, seed=seed, sample_frac=sample_frac,
+                           max_sample_rows=max_sample_rows, spherical=True)
+    else:
+        cols = ds.select_columns([id_col, emb_col])
+        n_rows = cols.count()
+        frac = min(sample_frac, max_sample_rows / max(1, n_rows))
+        samp = deterministic_sample(cols, id_col, frac, hash_fn="splitmix64").to_pandas()
+        if len(samp) < max(n_centroids, 1):
+            samp = cols.limit(max_sample_rows).to_pandas()
+        m = _normalize(np.stack(samp.sort_values(id_col)[emb_col].to_numpy()).astype(np.float64))
+        rng = np.random.default_rng(seed)
+        init = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+        # one Lloyd refinement
+        assign = np.argmax(m @ init.T, axis=1)
+        cents = np.stack([
+            _normalize(m[assign == c].mean(axis=0, keepdims=True))[0] if (assign == c).any() else init[c]
+            for c in range(len(init))
+        ])
     ref = ray.put(cents)
 
     def tag(t: pa.Table) -> pa.Table:

@@ -48,6 +48,19 @@ def q_quality_score(sf_dir):
     return out.select_columns(["doc_id", "quality_score"])
 
 
+def q_kmeans_assign(sf_dir):
+    """Distributed Lloyd k-means over the embeddings table (k-means++
+    init on a content-deterministic capped sample, 4 streaming partial-sum
+    iterations) + one broadcast assignment pass. Iterative algorithm —
+    no SQL twin; rows-only driver check, oracles in tests/test_kmeans.py
+    (blob recovery, partition invariance, empty-cluster handling)."""
+    from engine.ops.kmeans import kmeans_assign, kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = kmeans_fit(emb, k=8, iters=4)
+    return kmeans_assign(emb, cents).select_columns(["vec_id", "cluster"])
+
+
 def q_gopher_quality_filter(sf_dir):
     """Gopher-rule quality gate (Rae et al. 2022 A1 subset): word-count,
     mean-word-length and stopword-ratio bounds; only survivors emitted.
@@ -646,6 +659,7 @@ QUERIES_ML = {
     "chunk_documents": q_chunk_documents,
     "line_dedup": q_line_dedup,
     "gopher_quality_filter": q_gopher_quality_filter,
+    "kmeans_assign": q_kmeans_assign,
     "top_bigrams": q_top_bigrams,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
