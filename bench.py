@@ -247,7 +247,11 @@ def run_queries(sf_dir: str) -> dict:
              # round-3 additions: scrubbing, chunking, ranks, n-gram counts
              "pii_scrub", "chunk_documents", "event_ranks", "top_bigrams",
              # round-3 additions: splits, tf-idf, semantic dedup, weighted sample
-             "split_assign", "tfidf_top_terms", "semdedup", "weighted_sample"]
+             "split_assign", "tfidf_top_terms", "semdedup", "weighted_sample",
+             # round-4 additions: C4 line dedup, Gopher gate, rank family,
+             # distributed Lloyd k-means
+             "line_dedup", "gopher_quality_filter", "event_rank_stats",
+             "kmeans_assign"]
     out = {}
     for name in names:
         t0 = time.time()

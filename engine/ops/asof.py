@@ -73,6 +73,7 @@ def asof_join(
     include_right_ts: bool = True,
     post=None,
     exchange: str = "sort",
+    direction: str = "backward",
 ):
     """left, right: ray.data.Dataset -> Dataset with left columns +
     suffixed right value columns (+ matched right ts).
@@ -156,7 +157,7 @@ def asof_join(
 
     out_schema = pa.schema([pa.field(n, lschema.field(n).type) for n in left_names] + out_right_fields)
     merge = _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
-                        strict=strict, tolerance_us=tolerance_us)
+                        strict=strict, tolerance_us=tolerance_us, direction=direction)
     fn = merge if post is None else (lambda g: post(merge(g)))
     if exchange == "repartition":
         return tagged.repartition(P, keys=[_PKEY]).map_batches(
@@ -280,11 +281,22 @@ def asof_join_broadcast(
     return left.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 def _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
-                strict: bool, tolerance_us: int | None):
+                strict: bool, tolerance_us: int | None,
+                direction: str = "backward"):
     """Vectorized per-partition sort+binary-search as-of merge, shared by
     the entity-hash path (asof_join) and the time-sliced W5 path
-    (engine/ops/backfill.py::asof_time_sliced)."""
+    (engine/ops/backfill.py::asof_time_sliced).
+
+    direction: "backward" (greatest right.ts <= t — the default and the
+    leakage-safe one), "forward" (smallest right.ts >= t; strict: > t;
+    ties resolve to the FIRST right row in input order), or "nearest"
+    (the closer of the two; exact tie -> backward). forward/nearest look
+    into the future by construction — like lead_*, they must not feed
+    leakage-audited training outputs. tolerance_us bounds |t - right.ts|
+    per direction before nearest picks."""
     rval_names = [f.name for f in out_right_fields]
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
 
     def finish(cols) -> pa.Table:
         # exchange-wire types (fixed_size_list shipped as variable list,
@@ -332,13 +344,31 @@ def _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
         rkey_s = rkey[order]
         lkey = lcode * factor + lrank
 
-        side_kw = "left" if strict else "right"
-        idx = np.searchsorted(rkey_s, lkey, side=side_kw) - 1
-        valid = idx >= 0
-        safe = np.where(valid, idx, 0)
-        valid &= rcode[order[safe]] == lcode
-        if tolerance_us is not None:
-            valid &= (lts - rts[order[safe]]) <= tolerance_us
+        if direction in ("backward", "nearest"):
+            idx = np.searchsorted(rkey_s, lkey, side=("left" if strict else "right")) - 1
+            bvalid = idx >= 0
+            bsafe = np.where(bvalid, idx, 0)
+            bvalid &= rcode[order[bsafe]] == lcode
+            if tolerance_us is not None:
+                bvalid &= (lts - rts[order[bsafe]]) <= tolerance_us
+        if direction in ("forward", "nearest"):
+            fidx = np.searchsorted(rkey_s, lkey, side=("right" if strict else "left"))
+            fvalid = fidx < rkey_s.size
+            fsafe = np.where(fvalid, fidx, 0)
+            fvalid &= rcode[order[fsafe]] == lcode
+            if tolerance_us is not None:
+                fvalid &= (rts[order[fsafe]] - lts) <= tolerance_us
+        if direction == "backward":
+            valid, safe = bvalid, bsafe
+        elif direction == "forward":
+            valid, safe = fvalid, fsafe
+        else:
+            big = np.iinfo(np.int64).max
+            bd = np.where(bvalid, lts - rts[order[bsafe]], big)
+            fd = np.where(fvalid, rts[order[fsafe]] - lts, big)
+            use_b = bvalid & (~fvalid | (bd <= fd))
+            valid = bvalid | fvalid
+            safe = np.where(use_b, bsafe, fsafe)
         take_pos = np.where(valid, order[safe], -1)
         take_idx = pa.array(
             np.where(valid, take_pos, 0).astype(np.int64), mask=~valid

@@ -108,6 +108,28 @@ def q_asof_tolerance(sf_dir):
     return out.select_columns(["event_id", "ts_r", "value_r"])
 
 
+def q_asof_forward(sf_dir):
+    """Forward as-of: smallest purchase ts >= view ts per user (the
+    next-event join). Value-exact vs DuckDB ASOF with l.ts <= r.ts."""
+    from engine.ops.asof import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    out = asof_join(_filter_type(ev, "view"), _filter_type(ev, "purchase"),
+                    on="user_id", right_cols=["value"], direction="forward")
+    return out.select_columns(["event_id", "ts_r", "value_r"])
+
+
+def q_asof_nearest(sf_dir):
+    """Nearest as-of: the closer of the backward/forward purchase per
+    view (tie -> backward). Composed in SQL from two ASOF joins."""
+    from engine.ops.asof import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    out = asof_join(_filter_type(ev, "view"), _filter_type(ev, "purchase"),
+                    on="user_id", right_cols=["value"], direction="nearest")
+    return out.select_columns(["event_id", "ts_r", "value_r"])
+
+
 def q_asof_broadcast(sf_dir):
     """Zero-shuffle as-of: small right side broadcast via ray.put, same
     semantics (and oracle) as asof_join."""
@@ -666,6 +688,26 @@ ORACLE_SQL = {
         FROM (SELECT * FROM events WHERE event_type='view') l
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
           ON l.user_id = r.user_id AND l.ts > r.ts""",
+    "asof_forward": """
+        SELECT l.event_id, r.ts AS ts_r, r.value AS value_r
+        FROM (SELECT * FROM events WHERE event_type='view') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
+          ON l.user_id = r.user_id AND l.ts <= r.ts""",
+    "asof_nearest": """
+        WITH l AS (SELECT * FROM events WHERE event_type='view'),
+             r AS (SELECT * FROM events WHERE event_type='purchase'),
+             b AS (SELECT l.event_id, l.ts AS lts, r.ts AS bts, r.value AS bval
+                   FROM l ASOF LEFT JOIN r
+                     ON l.user_id = r.user_id AND l.ts >= r.ts),
+             f AS (SELECT l.event_id, r.ts AS fts, r.value AS fval
+                   FROM l ASOF LEFT JOIN r
+                     ON l.user_id = r.user_id AND l.ts <= r.ts)
+        SELECT b.event_id,
+               CASE WHEN bts IS NOT NULL AND (fts IS NULL OR (lts - bts) <= (fts - lts))
+                    THEN bts ELSE fts END AS ts_r,
+               CASE WHEN bts IS NOT NULL AND (fts IS NULL OR (lts - bts) <= (fts - lts))
+                    THEN bval ELSE fval END AS value_r
+        FROM b JOIN f USING (event_id)""",
     "asof_tolerance": """
         WITH j AS (
           SELECT l.event_id, l.ts AS lts, r.ts AS ts_r, r.value AS value_r
@@ -906,6 +948,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "asof_strict": q_asof_strict,
     "asof_tolerance": q_asof_tolerance,
+    "asof_forward": q_asof_forward,
+    "asof_nearest": q_asof_nearest,
     "asof_broadcast": q_asof_broadcast,
     "range_join": q_range_join,
     "event_ranks": q_event_ranks,

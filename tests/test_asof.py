@@ -148,3 +148,33 @@ def test_asof_broadcast_ns_timestamps(ray_session):
          .select_columns(cols).to_pandas().sort_values("event_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert a["value_r"].tolist() == [1.0, 2.0] + [None] or a["value_r"].fillna(-1).tolist() == [1.0, 2.0, -1.0]
+
+
+def test_asof_directions_planted(ray_session):
+    """forward picks the smallest right ts >= t (strict: > t); nearest
+    picks the closer side with exact ties resolving backward; tolerance
+    bounds the gap per direction."""
+    import ray.data as rd
+
+    from engine.ops.asof import asof_join
+
+    left = pd.DataFrame({"e": [1, 1, 1, 2], "ts": [10, 25, 100, 5], "lid": [0, 1, 2, 3]})
+    right = pd.DataFrame({"e": [1, 1, 1], "ts": [20, 30, 40], "v": [200., 300., 400.]})
+
+    def run(**kw):
+        out = asof_join(rd.from_pandas(left), rd.from_pandas(right), on="e",
+                        right_cols=["v"], **kw).to_pandas().sort_values("lid")
+        return list(out["v_r"].fillna(-1))
+
+    assert run(direction="forward") == [200., 300., -1, -1]
+    # strict forward at a boundary: left ts=20 would skip the equal row
+    lb = pd.DataFrame({"e": [1], "ts": [20], "lid": [0]})
+    outs = asof_join(rd.from_pandas(lb), rd.from_pandas(right), on="e",
+                     right_cols=["v"], direction="forward", strict=True).to_pandas()
+    assert list(outs["v_r"]) == [300.]
+    # nearest: ts=25 is equidistant to 20 and 30 -> backward wins (200)
+    assert run(direction="nearest") == [200., 200., 400., -1]
+    # forward tolerance: gap must be <= 6
+    assert run(direction="forward", tolerance_us=6) == [-1., 300., -1., -1.]
+    # nearest with tolerance: ts=100 is 60 past 40 -> no match
+    assert run(direction="nearest", tolerance_us=10) == [200., 200., -1., -1.]
