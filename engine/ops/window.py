@@ -135,16 +135,19 @@ def with_ranks(
     rank_col: str = "rnk",
     dense_col: str = "drnk",
     ntile_col: str = "nt",
+    pct_cols: bool = False,
     num_partitions: int | None = None,
 ):
     """SQL ranking family in ONE entity-hash exchange: RANK() and
     DENSE_RANK() OVER (PARTITION BY entity ORDER BY order_col), plus
     NTILE(n) OVER (... ORDER BY order_col, tie_break) when ``ntile`` is
     set (NTILE is row-order dependent, so it needs the tie break for
-    determinism; rank/dense_rank are peer-aware and don't). All three are
-    vectorized run arithmetic over the one partition-local sort — no
-    per-group loop. order_col: ints / timestamps (value-run detection is
-    exact equality). Value-exact DuckDB oracle: engine/queries.py
+    determinism; rank/dense_rank are peer-aware and don't), plus
+    PERCENT_RANK ((rank-1)/(n-1), 0 for n=1) and CUME_DIST (peers-
+    inclusive count/n) when ``pct_cols`` is set. All are vectorized run
+    arithmetic over the one partition-local sort — no per-group loop.
+    order_col: ints / timestamps (value-run detection is exact
+    equality). Value-exact DuckDB oracle: engine/queries.py
     "event_rank_stats"."""
 
     def fn(t: pa.Table) -> pa.Table:
@@ -152,6 +155,8 @@ def with_ranks(
         pairs = [(rank_col, pa.int64()), (dense_col, pa.int64())]
         if ntile:
             pairs.append((ntile_col, pa.int64()))
+        if pct_cols:
+            pairs += [("pct_rank", pa.float64()), ("cume_dist", pa.float64())]
         if t.num_rows == 0:
             return _with_empty(t, pairs)
         t, _codes, vals, change = entity_sort(t, entity, order_col, tie_break)
@@ -173,6 +178,15 @@ def with_ranks(
             small = r + (pos - big_span) // np.maximum(q, 1) + 1
             nt = np.where(pos < big_span, pos // (q + 1) + 1, small)
             t = t.append_column(ntile_col, pa.array(nt.astype(np.int64)))
+        if pct_cols:
+            L = (ends - starts)[seg_id]
+            pr = np.where(L > 1, (rank - 1) / np.maximum(L - 1, 1), 0.0)
+            # cume_dist numerator: rows up to and including the LAST peer
+            rs = np.flatnonzero(vrun)
+            run_end = np.append(rs[1:], n)[vcum - 1]  # index after the run
+            cd = (pos[run_end - 1] + 1) / L
+            t = t.append_column("pct_rank", pa.array(np.round(pr, 6)))
+            t = t.append_column("cume_dist", pa.array(np.round(cd, 6)))
         return t
 
     return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")

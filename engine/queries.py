@@ -183,8 +183,9 @@ def q_event_rank_stats(sf_dir):
         lambda t: t.append_column("coarse", pc.cast(pc.floor(t["value"]), pa.int64())),
         batch_format="pyarrow", zero_copy_batch=True)
     out = with_ranks(ev, entity="user_id", order_col="coarse",
-                     tie_break="event_id", ntile=4, ntile_col="nt4")
-    return out.select_columns(["event_id", "user_id", "coarse", "rnk", "drnk", "nt4"])
+                     tie_break="event_id", ntile=4, ntile_col="nt4", pct_cols=True)
+    return out.select_columns(["event_id", "user_id", "coarse", "rnk", "drnk", "nt4",
+                               "pct_rank", "cume_dist"])
 
 
 def q_rolling_24h(sf_dir):
@@ -736,7 +737,11 @@ ORACLE_SQL = {
                DENSE_RANK() OVER (PARTITION BY user_id
                                   ORDER BY CAST(floor(value) AS BIGINT)) AS drnk,
                NTILE(4) OVER (PARTITION BY user_id
-                              ORDER BY CAST(floor(value) AS BIGINT), event_id) AS nt4
+                              ORDER BY CAST(floor(value) AS BIGINT), event_id) AS nt4,
+               ROUND(PERCENT_RANK() OVER (PARTITION BY user_id
+                              ORDER BY CAST(floor(value) AS BIGINT)), 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER (PARTITION BY user_id
+                              ORDER BY CAST(floor(value) AS BIGINT)), 6) AS cume_dist
         FROM events""",
     "lag_lead": """
         SELECT event_id,

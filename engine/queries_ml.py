@@ -61,6 +61,18 @@ def q_kmeans_assign(sf_dir):
     return kmeans_assign(emb, cents).select_columns(["vec_id", "cluster"])
 
 
+def q_pca_embeddings(sf_dir):
+    """Distributed one-pass PCA (block moment partials + driver eig) over
+    the embeddings table, then a broadcast projection onto the top-4
+    components. Eigendecomposition — no SQL twin; rows-only driver check,
+    NumPy-parity + partition-invariance oracles in tests/test_pca.py."""
+    from engine.ops.pca import pca_fit, pca_transform
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    comps, mean, _ = pca_fit(emb, k=4)
+    return pca_transform(emb, comps, mean).select_columns(["vec_id", "pca"])
+
+
 def q_gopher_quality_filter(sf_dir):
     """Gopher-rule quality gate (Rae et al. 2022 A1 subset): word-count,
     mean-word-length and stopword-ratio bounds; only survivors emitted.
@@ -660,6 +672,7 @@ QUERIES_ML = {
     "line_dedup": q_line_dedup,
     "gopher_quality_filter": q_gopher_quality_filter,
     "kmeans_assign": q_kmeans_assign,
+    "pca_embeddings": q_pca_embeddings,
     "top_bigrams": q_top_bigrams,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
