@@ -43,17 +43,50 @@ def exact_dedup(ds, keys, order_by=None, keep: str = "first", num_partitions: in
         return t.append_column(_PKEY, pa.array((h % np.uint64(P)).astype(np.int32)))
 
     def dd(t: pa.Table) -> pa.Table:
-        # pyarrow in/out so EMPTY sort partitions keep their schema —
-        # a pandas fn returns a column-less frame for them, and the
-        # schema-less blocks break downstream joins/unions.
+        # pyarrow in/out so EMPTY sort partitions keep their schema (a
+        # pandas fn returns a column-less frame for them, and the
+        # schema-less blocks break downstream joins/unions) — and
+        # Arrow-NATIVE throughout: the round-3 pandas round-trip boxed
+        # every string key into Python objects per partition, which is
+        # the hot path when line_dedup feeds the corpus-sized exploded
+        # line table through here. String keys are dictionary-encoded
+        # (C hash table) so the run-boundary compare is int-vs-int.
         t = t.drop_columns([_PKEY])
-        if t.num_rows == 0:
+        n = t.num_rows
+        if n == 0:
             return t
-        df = t.to_pandas()
-        if order_by:
-            df = df.sort_values(order_by, kind="stable")
-        df = df.drop_duplicates(subset=keys, keep=keep)
-        return pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
+
+        def col_codes(name):
+            col = t[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            typ = col.type
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ) \
+                    or pa.types.is_binary(typ):
+                import pyarrow.compute as pc
+
+                # nulls -> one shared code (-1): pandas drop_duplicates
+                # treated NaN keys as equal, keep that
+                idx = pc.fill_null(col.dictionary_encode().indices, -1)
+                return idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            return col.to_numpy(zero_copy_only=False)
+
+        kc = [col_codes(c) for c in keys]
+        oc = [col_codes(c) for c in order_by]
+        # lexsort is stable, and np.arange final key pins input order on
+        # full (keys+order_by) ties — same winner as the pandas stable
+        # sort + drop_duplicates this replaces
+        order = np.lexsort(tuple([np.arange(n)] + oc[::-1] + kc[::-1]))
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        for k in kc:
+            ks = k[order]
+            first[1:] |= ks[1:] != ks[:-1]
+        if keep == "last":
+            winner = order[np.append(np.flatnonzero(first)[1:], n) - 1]
+        else:
+            winner = order[first]
+        return t.take(pa.array(np.sort(winner)))
 
     return (
         ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
