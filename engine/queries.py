@@ -475,6 +475,30 @@ def q_approx_distinct_users(sf_dir):
     return pd.DataFrame({"n_users_approx": [approx_distinct(ev, "user_id")]})
 
 
+def q_heavy_hitters(sf_dir):
+    """EXACT phi-heavy hitters with no key shuffle: Misra-Gries candidate
+    sketch (tree aggregate, guaranteed superset for freq > n/(k+1)) +
+    one broadcast exact-count pass + threshold filter. Value-exact vs
+    GROUP BY ... HAVING."""
+    from engine.ops.freq import heavy_hitters
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    return heavy_hitters(ev, "user_id", phi=0.0075)
+
+
+def q_approx_quantiles_value(sf_dir):
+    """Merging t-digest (delta=200) over events.value — ONE tree
+    aggregate, no sort/shuffle. Approximate (rank err < ~1%): no SQL
+    oracle; rows-only driver check + error-bound pytest
+    (tests/test_freq.py)."""
+    from engine.ops.freq import approx_quantiles
+
+    ev = _read(sf_dir, "events", columns=["value"])
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = approx_quantiles(ev, "value", qs)
+    return pd.DataFrame({"q": qs, "value_approx": est})
+
+
 def q_distinct_event_types(sf_dir):
     vals = _read(sf_dir, "events", columns=["event_type"]).unique("event_type")
     return pd.DataFrame({"event_type": sorted(vals)})
@@ -949,6 +973,10 @@ ORACLE_SQL = {
 
 ORACLE_SQL["asof_broadcast"] = ORACLE_SQL["asof_join"]
 
+ORACLE_SQL["heavy_hitters"] = """
+    SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id
+    HAVING CAST(COUNT(*) AS DOUBLE) > 0.0075 * (SELECT COUNT(*) FROM events)"""
+
 QUERIES = {
     "asof_join": q_asof_join,
     "asof_strict": q_asof_strict,
@@ -984,6 +1012,8 @@ QUERIES = {
     "intersect_buyers_viewers": q_intersect_buyers_viewers,
     "except_viewers_only": q_except_viewers_only,
     "approx_distinct_users": q_approx_distinct_users,
+    "heavy_hitters": q_heavy_hitters,
+    "approx_quantiles_value": q_approx_quantiles_value,
     "distinct_event_types": q_distinct_event_types,
     "minmax_by_type": q_minmax_by_type,
     "union_counts": q_union_counts,
