@@ -1,0 +1,186 @@
+"""Distributed Bloom filter membership + bloom-prefiltered exact joins
+(SURVEY.md §2.5/§2.4 extension — the classic Bloom-join of distributed
+query processing, public algorithm since Bloom 1970 / Mackert & Lohman
+1986).
+
+Shape at 100 TB: an exact semi/anti join ships BOTH sides through an
+all-to-all hash exchange. The bloom join instead scans the build side
+once into a fixed-size bitmap (a tree aggregate of OR-combinable
+KB..MB accumulators — no shuffle), broadcasts the bitmap via ray.put,
+and filters the probe side in ONE map pass:
+
+- anti join: rows testing NEGATIVE are definite non-members (Bloom
+  filters have no false negatives) and are emitted immediately; only
+  the rows testing positive — true matches plus an ~fpr sliver — go
+  through the exact exchange for false-positive removal.
+- semi join: rows testing negative are definitely dropped; positives
+  are verified exactly the same way.
+
+Either way the expensive exchange runs on |matches| + fpr*|probe| rows
+instead of |probe| + |build|, and the result is EXACT (value-checkable
+vs NOT EXISTS / EXISTS SQL).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import AggregateFnV2
+
+from engine.ops.keys import stable_hash
+
+# odd multiplier for the second hash of the double-hashing scheme
+# (Kirsch & Mitzenmacher 2006: h_i = h1 + i*h2 preserves the FPR bound)
+_H2_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bit_positions(values, num_bits: int, k: int) -> np.ndarray:
+    """(len(values), k) uint64 bit indices via double hashing."""
+    h1 = stable_hash(values)
+    # h2 from the HIGH bits: with m a power of two, `x % m` keeps only
+    # low bits, and the low bits of h1*mult depend only on h1's low bits
+    # — an h2 derived from them would collapse the whole k-probe sequence
+    # to log2(m) bits of entropy (measured 4.5% FPR vs 0.8% design).
+    h2 = ((h1 >> np.uint64(32)) * _H2_MULT) | np.uint64(1)  # odd stride
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return (h1[:, None] + i * h2[:, None]) % np.uint64(num_bits)
+
+
+def _set_bits(bitmap: np.ndarray, pos: np.ndarray) -> None:
+    flat = pos.ravel()
+    np.bitwise_or.at(bitmap, (flat >> np.uint64(3)).astype(np.int64),
+                     np.left_shift(np.uint8(1), (flat & np.uint64(7)).astype(np.uint8)))
+
+
+def _test_bits(bitmap: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """-> bool mask: True where ALL k bits are set (possible member)."""
+    byte = bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+    bit = np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
+    return ((byte & bit) != 0).all(axis=1)
+
+
+class BloomBuild(AggregateFnV2):
+    """ds.aggregate(BloomBuild(on=col, num_bits=m, k=k)) -> uint8 bitmap.
+
+    Accumulator = m/8-byte uint8 array; combine = elementwise OR — the
+    same shippable-partials shape as the HLL sketch."""
+
+    def __init__(self, on: str, num_bits: int = 1 << 23, k: int = 7,
+                 alias_name: str | None = None):
+        self._m = int(num_bits)
+        self._k = int(k)
+        super().__init__(alias_name or f"bloom({on})",
+                         zero_factory=lambda: np.zeros(self._m // 8, np.uint8),
+                         on=on, ignore_nulls=True)
+
+    def aggregate_block(self, block):
+        col = block[self._target_col_name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        bitmap = np.zeros(self._m // 8, np.uint8)
+        if len(col):
+            _set_bits(bitmap, _bit_positions(col, self._m, self._k))
+        return bitmap
+
+    def combine(self, current, new):
+        return np.bitwise_or(np.asarray(current, np.uint8),
+                             np.asarray(new, np.uint8))
+
+    def finalize(self, accumulator):
+        return np.asarray(accumulator, np.uint8)
+
+
+def bloom_build(ds, col: str, expected_n: int | None = None,
+                bits_per_key: int = 10, k: int = 7) -> np.ndarray:
+    """Build a bloom bitmap over ds[col]. m = next power of two >=
+    bits_per_key * n (10 bits/key + k=7 -> ~0.8% FPR)."""
+    if expected_n is None:
+        expected_n = ds.count()
+    m = 1 << max(13, int(np.ceil(np.log2(max(1, expected_n) * bits_per_key))))
+    agg = ds.aggregate(BloomBuild(on=col, num_bits=m, k=k, alias_name="bf"))
+    bf = (agg or {}).get("bf")  # None / {"bf": None} on an empty dataset
+    return np.zeros(m // 8, np.uint8) if bf is None else np.asarray(bf, np.uint8)
+
+
+def _bloom_split(probe, on: str, bitmap_ref, num_bits: int, k: int):
+    """Tag probe rows with the bloom verdict in one map pass. Returns the
+    tagged dataset (column __bloom_hit: bool)."""
+    import ray
+
+    def tag(t: pa.Table) -> pa.Table:
+        bitmap = ray.get(bitmap_ref) if not isinstance(bitmap_ref, np.ndarray) else bitmap_ref
+        col = t[on].combine_chunks() if isinstance(t[on], pa.ChunkedArray) else t[on]
+        if len(col) == 0:
+            return t.append_column("__bloom_hit", pa.array([], pa.bool_()))
+        hit = _test_bits(bitmap, _bit_positions(col, num_bits, k))
+        return t.append_column("__bloom_hit", pa.array(hit))
+
+    return probe.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bloom_anti_join(left, right, on: str, right_on: str | None = None,
+                    bits_per_key: int = 10, k: int = 7):
+    """EXACT left-anti join (left rows with NO match in right): bloom
+    prefilter + exact anti join on the candidate sliver only.
+
+    Build-side nulls never match (SQL NOT EXISTS semantics); left rows
+    with null keys test negative on the hash of None — they are kept,
+    matching NOT EXISTS."""
+    import pyarrow.compute as pc
+
+    from engine.ops.join import anti_join
+
+    right_on = right_on or on
+    keys = right.select_columns([right_on])
+    n = keys.count()
+    if n == 0:  # empty build side: every left row is a non-member
+        return left
+    bitmap = bloom_build(keys, right_on, expected_n=n,
+                         bits_per_key=bits_per_key, k=k)
+    m = len(bitmap) * 8
+    import ray
+
+    ref = ray.put(bitmap)
+    tagged = _bloom_split(left, on, ref, m, k)
+
+    def keep_misses(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t["__bloom_hit"])).drop_columns(["__bloom_hit"])
+
+    def keep_hits(t: pa.Table) -> pa.Table:
+        return t.filter(t["__bloom_hit"]).drop_columns(["__bloom_hit"])
+
+    misses = tagged.map_batches(keep_misses, batch_format="pyarrow", zero_copy_batch=True)
+    cands = tagged.map_batches(keep_hits, batch_format="pyarrow", zero_copy_batch=True)
+    # exact FP removal on the candidate sliver (true matches + ~fpr)
+    verified = anti_join(cands, right, on=on, right_on=right_on)
+    return misses.union(verified)
+
+
+def bloom_semi_join(left, right, on: str, right_on: str | None = None,
+                    bits_per_key: int = 10, k: int = 7):
+    """EXACT left-semi join: bloom-negative rows are dropped map-side;
+    only bloom-positive rows enter the exact semi exchange."""
+    import pyarrow.compute as pc
+
+    from engine.ops.join import semi_join
+
+    right_on = right_on or on
+    keys = right.select_columns([right_on])
+    n = keys.count()
+    if n == 0:  # empty build side: nothing can match
+        return left.limit(0)
+    bitmap = bloom_build(keys, right_on, expected_n=n,
+                         bits_per_key=bits_per_key, k=k)
+    m = len(bitmap) * 8
+    import ray
+
+    ref = ray.put(bitmap)
+    tagged = _bloom_split(left, on, ref, m, k)
+
+    def keep_hits(t: pa.Table) -> pa.Table:
+        return t.filter(t["__bloom_hit"]).drop_columns(["__bloom_hit"])
+
+    cands = tagged.map_batches(keep_hits, batch_format="pyarrow", zero_copy_batch=True)
+    return semi_join(cands, right, on=on, right_on=right_on)

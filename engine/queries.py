@@ -475,6 +475,25 @@ def q_approx_distinct_users(sf_dir):
     return pd.DataFrame({"n_users_approx": [approx_distinct(ev, "user_id")]})
 
 
+def q_bloom_anti_join(sf_dir):
+    """Customers with no orders via the bloom-prefiltered anti join
+    (engine/ops/bloom.py): build-side bitmap tree-aggregate + one probe
+    map pass; only the bloom-positive sliver enters the exact exchange.
+    Result is EXACT (no false negatives) — value-exact vs NOT EXISTS."""
+    from engine.ops.bloom import bloom_anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = _keep_tag(orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(300_000.0))),
+        batch_format="pyarrow",
+    ), orders).select_columns(["o_custkey"])
+    out = bloom_anti_join(cust, big, on="c_custkey", right_on="o_custkey").to_pandas()
+    if "c_custkey" not in out.columns:  # empty anti result loses schema
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return out[["c_custkey"]]
+
+
 def q_heavy_hitters(sf_dir):
     """EXACT phi-heavy hitters with no key shuffle: Misra-Gries candidate
     sketch (tree aggregate, guaranteed superset for freq > n/(k+1)) +
@@ -973,6 +992,12 @@ ORACLE_SQL = {
 
 ORACLE_SQL["asof_broadcast"] = ORACLE_SQL["asof_join"]
 
+ORACLE_SQL["bloom_anti_join"] = """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000.0)"""
+
 ORACLE_SQL["heavy_hitters"] = """
     SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id
     HAVING CAST(COUNT(*) AS DOUBLE) > 0.0075 * (SELECT COUNT(*) FROM events)"""
@@ -1013,6 +1038,7 @@ QUERIES = {
     "except_viewers_only": q_except_viewers_only,
     "approx_distinct_users": q_approx_distinct_users,
     "heavy_hitters": q_heavy_hitters,
+    "bloom_anti_join": q_bloom_anti_join,
     "approx_quantiles_value": q_approx_quantiles_value,
     "distinct_event_types": q_distinct_event_types,
     "minmax_by_type": q_minmax_by_type,
