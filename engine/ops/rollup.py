@@ -1,0 +1,112 @@
+"""ROLLUP / grouping-sets aggregation and fixed-width histograms
+(SURVEY.md §2.5 A1 extension — the OLAP subtotal algebra).
+
+Scale shape: only the FINEST level aggregates the input (one exchange of
+pre-combined partials — Ray's groupby does partial+final internally).
+Every coarser level re-aggregates the PREVIOUS level's result, which is
+|distinct key combos| rows, not |input| rows — the standard rollup
+optimization (no re-scan per level). The grand-total level is a tree
+aggregate with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def rollup(ds, keys: list[str], value: str,
+           sum_name: str = "sum_value", cnt_name: str = "n"):
+    """GROUP BY ROLLUP(keys...) with SUM(value) and COUNT(*).
+
+    Emits one row per grouping set: (k1..kn), (k1..kn-1, NULL), ...,
+    (NULL..NULL) — rolled-up key columns are real Arrow nulls, matching
+    SQL ROLLUP output. Sums are raw float64 (caller rounds for oracle
+    comparison); counts are int64."""
+    from ray.data.aggregate import Count, Sum
+
+    from engine.ops.util import arrow_schema
+
+    sch = arrow_schema(ds)
+    ktypes = {k: sch.field(k).type for k in keys}
+
+    level = ds.groupby(keys).aggregate(Sum(value, alias_name=sum_name),
+                                       Count(alias_name=cnt_name))
+    parts = [level]
+    for i in range(len(keys) - 1, 0, -1):
+        # re-aggregate the previous (already tiny) level, not the input
+        level = level.groupby(keys[:i]).aggregate(
+            Sum(sum_name, alias_name=sum_name), Sum(cnt_name, alias_name=cnt_name))
+        parts.append(_null_pad(level, ktypes, keys[i:]))
+    total = level.aggregate(Sum(sum_name, alias_name=sum_name),
+                            Sum(cnt_name, alias_name=cnt_name))
+    parts.append(_total_row(total, ktypes, keys, sum_name, cnt_name))
+    res = parts[0]
+    for part in parts[1:]:
+        res = res.union(part)
+    return res
+
+
+def _null_pad(level, ktypes: dict, absent: list[str]):
+    """Append typed null columns for rolled-up keys so every level unions
+    into one schema."""
+    absent_types = [(name, ktypes[name]) for name in absent]
+
+    def pad(t: pa.Table) -> pa.Table:
+        for name, typ in absent_types:
+            t = t.append_column(name, pa.nulls(len(t), typ))
+        return t
+
+    return level.map_batches(pad, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _total_row(total: dict | None, ktypes: dict, keys: list[str],
+               sum_name: str, cnt_name: str):
+    import ray.data as rd
+
+    total = total or {sum_name: 0.0, cnt_name: 0}
+    cols = {k: pa.nulls(1, ktypes[k]) for k in keys}
+    cols[sum_name] = pa.array([float(total[sum_name])], pa.float64())
+    cols[cnt_name] = pa.array([int(total[cnt_name])], pa.int64())
+    return rd.from_arrow(pa.table(cols))
+
+
+# ------------------------------------------------------------ histogram --
+
+def histogram(ds, col: str, lo: float, hi: float, nbins: int,
+              bin_name: str = "bin", cnt_name: str = "cnt"):
+    """Fixed-width histogram: bin = clamp(floor((v - lo)/w), 0, nbins-1).
+
+    One map pass emits per-batch (bin, partial count) rows — at most
+    nbins per batch — then a tiny groupby-sum combines them. The input
+    column never shuffles. Value-exact vs the same FLOOR/LEAST/GREATEST
+    arithmetic in SQL (identical float64 division both sides)."""
+    from ray.data.aggregate import Sum
+
+    w = (float(hi) - float(lo)) / nbins
+
+    def local(t: pa.Table) -> pa.Table:
+        c = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
+        v = c.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(v) == 0:
+            return pa.table({bin_name: pa.array([], pa.int64()),
+                             cnt_name: pa.array([], pa.int64())})
+        b = np.clip(np.floor((v - lo) / w), 0, nbins - 1).astype(np.int64)
+        bc = np.bincount(b, minlength=nbins)
+        nz = np.nonzero(bc)[0]
+        return pa.table({bin_name: pa.array(nz, pa.int64()),
+                         cnt_name: pa.array(bc[nz], pa.int64())})
+
+    pre = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby(bin_name).aggregate(Sum(cnt_name, alias_name=cnt_name))
+
+
+def histogram_sql(table: str, col: str, lo: float, hi: float, nbins: int,
+                  bin_name: str = "bin", cnt_name: str = "cnt") -> str:
+    """DuckDB twin of histogram() — identical float64 bin arithmetic."""
+    w = (float(hi) - float(lo)) / nbins
+    return f"""
+        SELECT LEAST(GREATEST(CAST(FLOOR(({col} - {lo!r}) / {w!r}) AS BIGINT), 0),
+                     {nbins - 1}) AS {bin_name},
+               COUNT(*) AS {cnt_name}
+        FROM {table} WHERE {col} IS NOT NULL GROUP BY 1"""

@@ -627,6 +627,40 @@ def q_daily_counts(sf_dir):
     return ev.map_batches(f, batch_format="pyarrow").groupby("day").aggregate(Count(alias_name="n"))
 
 
+def q_rollup_daily_type(sf_dir):
+    """GROUP BY ROLLUP(day, event_type): finest level aggregates the
+    input once; each subtotal level re-aggregates the previous (tiny)
+    level — no per-level input re-scan. Value-exact vs DuckDB ROLLUP
+    (rolled-up keys are real NULLs on both sides)."""
+    from engine.ops.rollup import rollup
+    from engine.ops.scalar import date_trunc_day
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"day": date_trunc_day(t["ts"]),
+                         "event_type": t["event_type"], "value": t["value"]})
+
+    tagged = _keep_tag(ev.map_batches(f, batch_format="pyarrow"), ev)
+    out = rollup(tagged, ["day", "event_type"], "value")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("sum_value"), "sum_value",
+                            pa.array(sql_round(t["sum_value"].to_numpy(zero_copy_only=False), 6)))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_value_histogram(sf_dir):
+    """Fixed-width 20-bin histogram of events.value — per-batch bincount
+    partials + one tiny groupby-sum; the value column never shuffles.
+    Value-exact vs identical FLOOR bin arithmetic in SQL."""
+    from engine.ops.rollup import histogram
+
+    ev = _read(sf_dir, "events", columns=["value"])
+    return histogram(ev, "value", lo=0.0, hi=200.0, nbins=20)
+
+
 def q_doc_tokens(sf_dir):
     from engine.ops.scalar import str_token_count
 
@@ -992,6 +1026,15 @@ ORACLE_SQL = {
 
 ORACLE_SQL["asof_broadcast"] = ORACLE_SQL["asof_join"]
 
+ORACLE_SQL["rollup_daily_type"] = """
+    SELECT date_trunc('day', ts) AS day, event_type,
+           ROUND(SUM(value), 6) AS sum_value, COUNT(*) AS n
+    FROM events GROUP BY ROLLUP(day, event_type)"""
+
+from engine.ops.rollup import histogram_sql as _hist_sql
+
+ORACLE_SQL["value_histogram"] = _hist_sql("events", "value", 0.0, 200.0, 20)
+
 ORACLE_SQL["bloom_anti_join"] = """
     SELECT c_custkey FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -1045,6 +1088,8 @@ QUERIES = {
     "union_counts": q_union_counts,
     "json_extract": q_json_extract,
     "daily_counts": q_daily_counts,
+    "rollup_daily_type": q_rollup_daily_type,
+    "value_histogram": q_value_histogram,
     "doc_tokens": q_doc_tokens,
     "dedup_events": q_dedup_events,
     "dedup_text_md5": q_dedup_text_md5,
