@@ -353,6 +353,20 @@ def q_ann_topk_ivf(sf_dir):
     return topk_cosine_ivf(indexed, cents, q, k=5, nprobe=4, query_ids=qids)
 
 
+def q_ann_topk_pq(sf_dir):
+    """Product-quantization ANN (engine/ops/pq.py): 8-byte codes scanned
+    via ADC lookup tables + exact re-rank of the top candidates. The
+    32x-smaller scan payload is the 10^12-vector memory path. Rows-only
+    driver check; recall + exactness oracles in tests/test_pq.py."""
+    from engine.ops.pq import pq_encode, pq_topk, pq_train
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q, qids = _query_vectors(sf_dir, 5)
+    books = pq_train(emb, m=8, n_codes=32)
+    enc = pq_encode(emb, books)
+    return pq_topk(enc, books, q, k=5, rerank=64, query_ids=qids)
+
+
 # ------------------------------------------- image flagship (synthetic) --
 
 def q_images_featurize(sf_dir):
@@ -689,6 +703,7 @@ QUERIES_ML = {
     "dup_groups": q_dup_groups,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_pq": q_ann_topk_pq,
     "images_featurize": q_images_featurize,
     "images_fv_normalized": q_images_fv_normalized,
     "images_clusters": q_images_clusters,
