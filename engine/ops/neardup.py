@@ -727,6 +727,51 @@ def simhash_near_dup(ds, id_col: str = "doc_id", text_col: str = "text", max_ham
     return exact_dedup(_bucketed_pairs(banded, emit), keys=["a", "b"])
 
 
+def hash64_near_dup(ds, id_col: str, hash_col: str, max_hamming: int = 3,
+                    max_bucket: int = DEFAULT_MAX_BUCKET):
+    """Generic banded near-dup over ANY 64-bit hash column (the simhash
+    pipeline with the signature stage factored out): 4 x 16-bit band
+    buckets (pigeonhole-complete for Hamming <= 3) -> vectorized pair
+    XOR-popcount verify -> (a, b, hamming) pair Dataset. Used for
+    perceptual-hash image near-dup (hash_col='phash') and reusable for
+    any precomputed fingerprint."""
+    from engine.ops.dedup import exact_dedup
+
+    def explode(t: pa.Table) -> pa.Table:
+        h = t[hash_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        bucket = np.concatenate([
+            (((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)) | np.uint64(b << 16)).astype(np.int64)
+            for b in range(4)
+        ])
+        return pa.table({
+            "bucket": pa.array(bucket),
+            id_col: pa.array(np.tile(ids, 4)),
+            hash_col: pa.array(np.tile(h.view(np.int64), 4)),
+        })
+
+    banded = ds.select_columns([id_col, hash_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def emit(t: pa.Table) -> pa.Table:
+        idtype = t.schema.field(id_col).type
+        order, _, ids, starts, sizes = _sorted_runs(t, id_col)
+        hs = t[hash_col].to_numpy(zero_copy_only=False)[order].view(np.uint64)
+        ii, jj = _run_pair_indices(starts, sizes, max_bucket)
+        if ii.size:
+            keep = ids[ii] != ids[jj]
+            ii, jj = ii[keep], jj[keep]
+        x = hs[ii] ^ hs[jj]
+        ham = (np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1)
+               if x.size else np.empty(0, np.int64))
+        ok = ham <= max_hamming
+        return pa.table({"a": pa.array(ids[ii][ok], type=idtype),
+                         "b": pa.array(ids[jj][ok], type=idtype),
+                         "hamming": pa.array(ham[ok].astype(np.int32))})
+
+    return exact_dedup(_bucketed_pairs(banded, emit), keys=["a", "b"])
+
+
 # ----------------------------------------------------- embedding cosine --
 
 def _emb_matrix(t: pa.Table, col: str) -> np.ndarray:

@@ -369,6 +369,45 @@ def q_ann_topk_pq(sf_dir):
 
 # ------------------------------------------- image flagship (synthetic) --
 
+def q_images_transform(sf_dir):
+    """Thumbnail/augment stage: decode -> 32x32 box-mean resize ->
+    hflip -> ppm re-encode in one per-worker-cached batch stage.
+    Rows-only driver check; exact NumPy round-trip oracles in
+    tests/test_transform.py."""
+    from engine.fixtures.gen import images_dataset
+    from engine.ops.transform import transform_images
+
+    out = transform_images(images_dataset(300, parallelism=4),
+                           resize=(32, 32), flip=True, out_fmt="ppm")
+    return out.select_columns(["image_id", "w", "h", "fmt"])
+
+
+def q_image_near_dup(sf_dir):
+    """Perceptual near-dup image pairs: banded phash (4 x 16-bit,
+    pigeonhole-complete for Hamming <= 3) + exact popcount verify.
+    50 planted copies (re-generated images under new ids) must pair
+    with their originals at Hamming 0. Rows-only driver check; planted
+    band-semantics oracle in tests/test_transform.py."""
+    import pyarrow.compute as pc_
+
+    from engine.fixtures.gen import images_dataset
+    from engine.ops.decode import featurize
+    from engine.ops.transform import image_near_dup
+
+    base = featurize(images_dataset(300, parallelism=4))
+
+    def rename(t):
+        import pyarrow as pa_
+
+        ids = pc_.binary_join_element_wise(t["image_id"], pa_.scalar("copy"), "_")
+        return t.set_column(t.schema.get_field_index("image_id"), "image_id", ids)
+
+    copies = featurize(images_dataset(50, parallelism=2)).map_batches(
+        rename, batch_format="pyarrow")
+    both = base.union(copies).select_columns(["image_id", "phash"])
+    return image_near_dup(both, max_hamming=3)
+
+
 def q_images_featurize(sf_dir):
     from engine.fixtures.gen import images_dataset
     from engine.ops.decode import featurize
@@ -704,6 +743,8 @@ QUERIES_ML = {
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_pq": q_ann_topk_pq,
+    "images_transform": q_images_transform,
+    "image_near_dup": q_image_near_dup,
     "images_featurize": q_images_featurize,
     "images_fv_normalized": q_images_fv_normalized,
     "images_clusters": q_images_clusters,
