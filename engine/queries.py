@@ -219,6 +219,21 @@ def q_expanding(sf_dir):
     })
 
 
+def q_hopping_6h(sf_dir):
+    """24h windows hopping every 6h per user (each event in 4 windows) —
+    same single entity exchange as tumbling: the k overlapping window
+    families run as k disjoint offset-tumbling run-reductions per sorted
+    partition, so rows are never replicated through the shuffle.
+    Value-exact vs the DuckDB cross-join-range twin."""
+    from engine.ops.window import hopping
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
+    out = hopping(ev, entity="user_id", width_us=86_400_000_000,
+                  hop_us=21_600_000_000).to_pandas()
+    out["sum_value"] = sql_round(out["sum_value"], 6)
+    return out[["user_id", "window_start", "n_events", "sum_value"]]
+
+
 def q_tumbling_daily(sf_dir):
     from engine.ops.window import tumbling
 
@@ -852,6 +867,13 @@ ORACLE_SQL = {
                COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value,
                MIN(value) AS min_value, MAX(value) AS max_value
         FROM events GROUP BY 1, 2""",
+    "hopping_6h": """
+        SELECT user_id,
+               make_timestamp((epoch_us(ts)//21600000000 - r.range)*21600000000)
+                   AS window_start,
+               COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+        FROM events CROSS JOIN range(4) r
+        GROUP BY 1, 2""",
     "sessionize": SESSION_SQL,
     "backfill_daily": """
         WITH grid AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS ts FROM events)
@@ -1059,6 +1081,7 @@ QUERIES = {
     "rolling_24h": q_rolling_24h,
     "expanding": q_expanding,
     "tumbling_daily": q_tumbling_daily,
+    "hopping_6h": q_hopping_6h,
     "sessionize": q_sessionize,
     "backfill_daily": q_backfill_daily,
     "q1_pricing_summary": q1_pricing_summary,

@@ -133,3 +133,37 @@ def test_rolling_single_row_entities(ray_session):
     assert (got["roll_count_v"] == 1).all()
     np.testing.assert_array_equal(got["roll_min_v"], got["v"])
     np.testing.assert_array_equal(got["roll_max_v"], got["v"])
+
+
+def test_hopping_matches_duckdb(ray_session, con):
+    import ray.data as rd
+
+    from engine.ops.window import hopping
+
+    W, H = 86_400_000_000, 21_600_000_000
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = (hopping(ev, entity="user_id", width_us=W, hop_us=H, num_partitions=5)
+           .to_pandas().sort_values(["user_id", "window_start"]).reset_index(drop=True))
+    exp = con.execute(f"""
+        SELECT user_id,
+               make_timestamp((epoch_us(ts)//{H} - r.range)*{H}) AS window_start,
+               COUNT(*) AS n_events, SUM(value) AS sum_value
+        FROM events CROSS JOIN range(4) r
+        GROUP BY 1, 2 ORDER BY user_id, window_start""").fetchdf()
+    assert len(got) == len(exp)
+    assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+    assert (got["window_start"].to_numpy() == exp["window_start"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    np.testing.assert_allclose(got["sum_value"], exp["sum_value"], rtol=1e-9)
+    # each event lands in exactly k=4 windows
+    assert got["n_events"].sum() == 4 * con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+
+
+def test_hopping_rejects_bad_hop(ray_session):
+    import ray.data as rd
+
+    from engine.ops.window import hopping
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    with pytest.raises(ValueError):
+        hopping(ev, entity="user_id", width_us=100, hop_us=33)
