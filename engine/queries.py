@@ -533,6 +533,25 @@ def q_approx_quantiles_value(sf_dir):
     return pd.DataFrame({"q": qs, "value_approx": est})
 
 
+def q_zorder_events(sf_dir):
+    """Z-order layout clustering of events on (value, ts): min/max
+    bounds tree-aggregate -> Morton key map -> range-partitioned sort.
+    Keys are deterministic (content-derived bounds) but the operator is
+    a layout transform — rows-only driver check; interleave/pruning
+    oracles in tests/test_zorder.py."""
+    from engine.ops.zorder import zorder_key
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "value": t["value"],
+                         "ts_us": pc.cast(t["ts"], pa.int64())})
+
+    tagged = _keep_tag(ev.map_batches(to_us, batch_format="pyarrow"), ev)
+    out = zorder_key(tagged, ["value", "ts_us"]).sort("zkey")
+    return out.select_columns(["event_id", "zkey"])
+
+
 def q_distinct_event_types(sf_dir):
     vals = _read(sf_dir, "events", columns=["event_type"]).unique("event_type")
     return pd.DataFrame({"event_type": sorted(vals)})
@@ -1106,6 +1125,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "bloom_anti_join": q_bloom_anti_join,
     "approx_quantiles_value": q_approx_quantiles_value,
+    "zorder_events": q_zorder_events,
     "distinct_event_types": q_distinct_event_types,
     "minmax_by_type": q_minmax_by_type,
     "union_counts": q_union_counts,
