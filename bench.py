@@ -251,7 +251,11 @@ def run_queries(sf_dir: str) -> dict:
              # round-4 additions: C4 line dedup, Gopher gate, rank family,
              # distributed Lloyd k-means
              "line_dedup", "gopher_quality_filter", "event_rank_stats",
-             "kmeans_assign"]
+             "kmeans_assign",
+             # late round-4 additions: sketches, bloom join, OLAP subtotals,
+             # hopping windows, PQ ANN, image near-dup, z-order layout
+             "heavy_hitters", "bloom_anti_join", "rollup_daily_type",
+             "hopping_6h", "ann_topk_pq", "image_near_dup", "zorder_events"]
     out = {}
     for name in names:
         t0 = time.time()

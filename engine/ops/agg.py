@@ -258,6 +258,47 @@ def grouped_topk(ds, key, order_col: str, k: int, descending: bool = True,
     return pre.groupby(keys).map_groups(final, batch_format="pyarrow")
 
 
+def grouped_mode(ds, key, col: str, out: str | None = None):
+    """Most frequent ``col`` value per group (deterministic: ties break
+    by value ascending — DuckDB's own mode() is first-seen and unstable,
+    so the SQL oracle must use the ROW_NUMBER form).
+
+    Shape: groupby(key, col).count() — one exchange of pre-combined
+    partials over the (group, value) pairs, NOT the raw rows — then the
+    per-group argmax is a grouped top-1 over that already-small table."""
+    from ray.data.aggregate import Count
+
+    keys = [key] if isinstance(key, str) else list(key)
+    out = out or f"mode_{col}"
+    counted = ds.groupby(keys + [col]).aggregate(Count(alias_name="__cnt"))
+    top = grouped_topk(counted, keys, "__cnt", k=1, descending=True, tie_break=col)
+
+    def rename(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__cnt"])
+        i = t.schema.get_field_index(col)
+        return t.set_column(i, out, t.column(i))
+
+    return top.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_sample_k(ds, group, key: str, k: int):
+    """Deterministic uniform k-sample per group: keep the k rows with the
+    smallest splitmix64(key) — content-addressed like deterministic_sample
+    (invariant to partitioning; exact SQL twin via splitmix64_sql), and
+    the selection is the two-level grouped top-k, so only <= k rows per
+    group per block enter the exchange."""
+    def tag(t: pa.Table) -> pa.Table:
+        h = _hash_u64(t[key], "splitmix64")
+        # int64 view keeps Arrow happy; flipping the sign bit preserves
+        # the uint64 ordering the SQL twin sorts by
+        return t.append_column("__sk", pa.array((h ^ np.uint64(1 << 63)).view(np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    picked = grouped_topk(tagged, group, "__sk", k=k, descending=False, tie_break=key)
+    return picked.map_batches(lambda t: t.drop_columns(["__sk"]),
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pivot(ds, index: str, column: str, value: str, categories: list,
           agg: str = "sum", prefix: str | None = None):
     """Wide conditional aggregate: one row per ``index`` value, one output

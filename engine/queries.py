@@ -533,6 +533,29 @@ def q_approx_quantiles_value(sf_dir):
     return pd.DataFrame({"q": qs, "value_approx": est})
 
 
+def q_mode_by_user(sf_dir):
+    """Most frequent event_type per user (deterministic ties: value
+    ASC). Two exchanges but both tiny: groupby(user, type).count shuffles
+    pre-combined pairs, then a grouped top-1 over that small table.
+    Value-exact vs the ROW_NUMBER SQL form (DuckDB's own mode() breaks
+    ties first-seen — unstable — so the oracle spells out the order)."""
+    from engine.ops.agg import grouped_mode
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type", out="mode_event_type")
+
+
+def q_grouped_sample_k(sf_dir):
+    """Deterministic 3 rows per event_type: smallest splitmix64(event_id)
+    per group (content-addressed — partition-invariant), selected by the
+    two-level grouped top-k. Value-exact vs the splitmix64_sql twin."""
+    from engine.ops.agg import grouped_sample_k
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "user_id"])
+    out = grouped_sample_k(ev, "event_type", key="event_id", k=3)
+    return out.select_columns(["event_type", "event_id", "user_id"])
+
+
 def q_zorder_events(sf_dir):
     """Z-order layout clustering of events on (value, ts): min/max
     bounds tree-aggregate -> Morton key map -> range-partitioned sort.
@@ -1067,6 +1090,24 @@ ORACLE_SQL = {
 
 ORACLE_SQL["asof_broadcast"] = ORACLE_SQL["asof_join"]
 
+ORACLE_SQL["mode_by_user"] = """
+    SELECT user_id, event_type AS mode_event_type FROM (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1"""
+
+from engine.ops.agg import splitmix64_sql as _sm_sql
+
+ORACLE_SQL["grouped_sample_k"] = f"""
+    SELECT event_type, event_id, user_id FROM (
+      SELECT event_type, event_id, user_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY {_sm_sql('event_id')}, event_id) AS rn
+      FROM events)
+    WHERE rn <= 3"""
+
 ORACLE_SQL["rollup_daily_type"] = """
     SELECT date_trunc('day', ts) AS day, event_type,
            ROUND(SUM(value), 6) AS sum_value, COUNT(*) AS n
@@ -1126,6 +1167,8 @@ QUERIES = {
     "bloom_anti_join": q_bloom_anti_join,
     "approx_quantiles_value": q_approx_quantiles_value,
     "zorder_events": q_zorder_events,
+    "mode_by_user": q_mode_by_user,
+    "grouped_sample_k": q_grouped_sample_k,
     "distinct_event_types": q_distinct_event_types,
     "minmax_by_type": q_minmax_by_type,
     "union_counts": q_union_counts,

@@ -151,3 +151,42 @@ def test_grouped_quantiles_sample_key_required():
 
     with _pytest.raises(ValueError, match="sample_key"):
         grouped_quantiles(None, "k", "v", sample_frac=0.5)
+
+
+def test_grouped_mode_vs_pandas(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.ops.agg import grouped_mode
+
+    rng = np.random.default_rng(23)
+    g = rng.integers(0, 40, 6000)
+    v = rng.integers(0, 6, 6000)
+    t = pa.table({"g": g.astype(np.int64),
+                  "v": pa.array([f"t{x}" for x in v], pa.string())})
+    out = grouped_mode(rd.from_arrow(t).repartition(9), "g", "v").to_pandas()
+    df = t.to_pandas()
+    # oracle: max count, ties -> smallest value
+    want = (df.groupby(["g", "v"]).size().reset_index(name="c")
+            .sort_values(["g", "c", "v"], ascending=[True, False, True])
+            .groupby("g").head(1).set_index("g")["v"].sort_index())
+    got = out.set_index("g")["mode_v"].sort_index()
+    assert got.equals(want)
+
+
+def test_grouped_sample_k_partition_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.ops.agg import grouped_sample_k
+
+    rng = np.random.default_rng(31)
+    t = pa.table({"g": rng.integers(0, 10, 3000).astype(np.int64),
+                  "id": np.arange(3000, dtype=np.int64)})
+    a = grouped_sample_k(rd.from_arrow(t), "g", key="id", k=5).to_pandas()
+    b = grouped_sample_k(rd.from_arrow(t).repartition(13), "g", key="id", k=5).to_pandas()
+    ka = sorted(map(tuple, a[["g", "id"]].to_numpy()))
+    kb = sorted(map(tuple, b[["g", "id"]].to_numpy()))
+    assert ka == kb
+    assert a.groupby("g").size().eq(5).all()
