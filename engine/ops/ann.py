@@ -120,6 +120,97 @@ def build_ivf(ds, n_centroids: int = 16, id_col: str = "vec_id", emb_col: str = 
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True), cents
 
 
+def ann_join(left, right, k: int = 1, nprobe: int = 2, n_centroids: int = 16,
+             left_id: str = "vec_id", right_id: str = "vec_id",
+             emb_col: str = "embedding", exclude_self: bool = False,
+             lloyd_iters: int = 1):
+    """Distributed similarity join: for every LEFT vector, its top-k
+    cosine neighbors among the RIGHT vectors. Neither side is broadcast
+    or materialized — the shape that works when BOTH sides are huge
+    (cross-corpus near-dup, retrieval-augmentation joins):
+
+    1. coarse centroids trained on the right side (capped deterministic
+       sample; spherical k-means when lloyd_iters > 1);
+    2. right rows tagged with their 1 nearest cell, left rows REPLICATED
+       to their nprobe nearest cells (the only data amplification,
+       nprobe x left — not |right|);
+    3. both sides co-partitioned by ONE groupby(cell) whose map_groups
+       brute-forces left-vs-right inside each cell (per-cell matmul);
+    4. a final small groupby(left id) merges the per-cell top-k across
+       probes.
+
+    Degenerate-cell note: a cell holds ~|right|/n_centroids rows; size
+    n_centroids ∝ corpus (as semdedup does) so per-group matmuls stay
+    bounded. Missing neighbors (all probed cells empty) simply emit no
+    row for that left id — same contract as topk_cosine_ivf."""
+    import ray
+
+    from engine.ops.agg import deterministic_sample  # noqa: F401 (doc pointer)
+
+    _indexed_right, cents = build_ivf(right, n_centroids=n_centroids,
+                                      id_col=right_id, emb_col=emb_col,
+                                      lloyd_iters=lloyd_iters)
+    ref = ray.put(cents)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        mm = _normalize(_emb_matrix(t, emb_col))
+        cell = np.argmax(mm @ cm.T, axis=1).astype(np.int32)
+        return pa.table({"cell": pa.array(cell),
+                         "side": pa.array(np.ones(len(cell), np.int8)),
+                         "rid": t[right_id],
+                         "emb": t[emb_col]})
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        mm = _normalize(_emb_matrix(t, emb_col))
+        npb = min(nprobe, len(cm))
+        cells = np.argsort(-(mm @ cm.T), axis=1)[:, :npb]  # (n, nprobe)
+        n = len(mm)
+        idx = np.repeat(np.arange(n), npb)
+        return pa.table({"cell": pa.array(cells.reshape(-1).astype(np.int32)),
+                         "side": pa.array(np.zeros(n * npb, np.int8)),
+                         "rid": t[left_id].take(pa.array(idx)),
+                         "emb": t[emb_col].combine_chunks().take(pa.array(idx))
+                         if isinstance(t[emb_col], pa.ChunkedArray)
+                         else t[emb_col].take(pa.array(idx))})
+
+    r_tagged = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    l_tagged = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    both = l_tagged.union(r_tagged)
+
+    def cell_join(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ids = t["rid"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"query_id": pa.array([], t.schema.field("rid").type),
+                          "neighbor_id": pa.array([], t.schema.field("rid").type),
+                          "score": pa.array([], pa.float64())})
+        lmask, rmask = side == 0, side == 1
+        if not lmask.any() or not rmask.any():
+            return empty
+        m = _normalize(_emb_matrix(t, "emb"))
+        lm, rm = m[lmask], m[rmask]
+        lids, rids = ids[lmask], ids[rmask]
+        sc = lm @ rm.T  # (L, R) within ONE bounded cell
+        if exclude_self:
+            sc[lids[:, None] == rids[None, :]] = -np.inf
+        kk = min(k, sc.shape[1])
+        order = np.lexsort((np.broadcast_to(rids, sc.shape), -sc), axis=1)[:, :kk]
+        take = order.reshape(-1)
+        out_s = np.take_along_axis(sc, order, axis=1).reshape(-1)
+        keep = np.isfinite(out_s)
+        return pa.table({
+            "query_id": pa.array(np.repeat(lids, kk)[keep]),
+            "neighbor_id": pa.array(rids[take][keep]),
+            "score": pa.array(np.round(out_s[keep], 5)),
+        })
+
+    pairs = both.groupby("cell").map_groups(cell_join, batch_format="pyarrow")
+    return (pairs.groupby("query_id")
+            .map_groups(lambda t: _final_topk(t, "neighbor_id", k),
+                        batch_format="pyarrow"))
+
+
 def topk_cosine_ivf(indexed_ds, centroids: np.ndarray, queries: np.ndarray, k: int = 5,
                     nprobe: int = 4, id_col: str = "vec_id", emb_col: str = "embedding",
                     query_ids: np.ndarray | None = None):

@@ -353,6 +353,17 @@ def q_ann_topk_ivf(sf_dir):
     return topk_cosine_ivf(indexed, cents, q, k=5, nprobe=4, query_ids=qids)
 
 
+def q_ann_join(sf_dir):
+    """Distributed similarity self-join: each embedding's nearest OTHER
+    embedding, both sides co-partitioned by coarse centroid cells (no
+    broadcast of either side — the cross-corpus-scale shape). Rows-only
+    driver check; recall/exactness oracles in tests/test_ann_join.py."""
+    from engine.ops.ann import ann_join
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_join(emb, emb, k=1, nprobe=4, n_centroids=8, exclude_self=True)
+
+
 def q_ann_topk_pq(sf_dir):
     """Product-quantization ANN (engine/ops/pq.py): 8-byte codes scanned
     via ADC lookup tables + exact re-rank of the top candidates. The
@@ -743,6 +754,7 @@ QUERIES_ML = {
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_pq": q_ann_topk_pq,
+    "ann_join": q_ann_join,
     "images_transform": q_images_transform,
     "image_near_dup": q_image_near_dup,
     "images_featurize": q_images_featurize,
