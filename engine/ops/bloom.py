@@ -151,8 +151,11 @@ def bloom_anti_join(left, right, on: str, right_on: str | None = None,
     def keep_hits(t: pa.Table) -> pa.Table:
         return t.filter(t["__bloom_hit"]).drop_columns(["__bloom_hit"])
 
+    from engine.ops.util import keep_sizing_tag
+
     misses = tagged.map_batches(keep_misses, batch_format="pyarrow", zero_copy_batch=True)
-    cands = tagged.map_batches(keep_hits, batch_format="pyarrow", zero_copy_batch=True)
+    cands = keep_sizing_tag(
+        tagged.map_batches(keep_hits, batch_format="pyarrow", zero_copy_batch=True), left)
     # exact FP removal on the candidate sliver (true matches + ~fpr)
     verified = anti_join(cands, right, on=on, right_on=right_on)
     return misses.union(verified)
@@ -182,5 +185,8 @@ def bloom_semi_join(left, right, on: str, right_on: str | None = None,
     def keep_hits(t: pa.Table) -> pa.Table:
         return t.filter(t["__bloom_hit"]).drop_columns(["__bloom_hit"])
 
-    cands = tagged.map_batches(keep_hits, batch_format="pyarrow", zero_copy_batch=True)
+    from engine.ops.util import keep_sizing_tag
+
+    cands = keep_sizing_tag(
+        tagged.map_batches(keep_hits, batch_format="pyarrow", zero_copy_batch=True), left)
     return semi_join(cands, right, on=on, right_on=right_on)

@@ -85,3 +85,24 @@ def stage_task(batch, _stage_cls=None, **kwargs):
     if inst is None:
         inst = _STAGE_STATE[key] = _stage_cls(**kwargs)
     return inst(batch)
+
+
+def keep_sizing_tag(out, *parents):
+    """Propagate the `_graft_input_files` sizing tag (see
+    engine/ops/partitioning.py) across a transform: resolves each
+    parent's tag or, failing that, its metadata-only input_files().
+    Without it, a join on a transformed dataset falls back to the
+    unknown-size 2x-CPU partition count — a 64-aggregator-actor storm
+    on a megabyte join (measured 33 s on bloom_anti_join at sf0.1)."""
+    files = []
+    for p in parents:
+        f = getattr(p, "_graft_input_files", None)
+        if f is None:
+            try:
+                f = p.input_files()
+            except Exception:  # noqa: BLE001 - non-file-backed source
+                f = []
+        files += list(f)
+    if files:
+        out._graft_input_files = files
+    return out
