@@ -340,6 +340,62 @@ def tumbling(
     return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")
 
 
+def with_first_last(
+    ds,
+    entity: str,
+    ts: str = "ts",
+    cols: list[str] = ("value",),
+    nth: list[int] = (),
+    tie_break: str | None = None,
+    num_partitions: int | None = None,
+):
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE(col, n) OVER (PARTITION BY
+    entity ORDER BY ts, tie_break ROWS BETWEEN UNBOUNDED PRECEDING AND
+    UNBOUNDED FOLLOWING) — the unbounded-frame value-picker family
+    (SQL's "anchor each row to its entity's first/last/n-th event").
+
+    Same single entity-hash exchange as every window op; within the
+    sorted partition each output column is ONE Arrow ``take`` at the
+    segment-boundary indices (type-generic — works for floats, strings,
+    structs, list<float> vectors alike, no float round-trip, so values
+    are bit-exact vs the SQL oracle). ``nth`` entries are 1-based like
+    SQL NTH_VALUE; rows whose entity has fewer than n events get null."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = _strip(t)
+        if t.num_rows == 0:
+            pairs = []
+            for c in cols:
+                typ = t.schema.field(c).type
+                pairs += [(f"first_{c}", typ), (f"last_{c}", typ)]
+                pairs += [(f"nth{k}_{c}", typ) for k in nth]
+            return _with_empty(t, pairs)
+        t, _codes, _tsv, change = entity_sort(t, entity, ts, tie_break)
+        starts, ends, seg_id, _pos = segments(change)
+        first_idx = pa.array(starts[seg_id])
+        last_idx = pa.array(ends[seg_id] - 1)
+        nth_idx = []
+        for k in nth:
+            idx = starts[seg_id] + (k - 1)
+            valid = (ends - starts)[seg_id] >= k
+            nth_idx.append((k, pa.array(np.where(valid, idx, 0)), pa.array(valid)))
+        for c in cols:
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            t = t.append_column(f"first_{c}", col.take(first_idx))
+            t = t.append_column(f"last_{c}", col.take(last_idx))
+            for k, idx, valid in nth_idx:
+                picked = col.take(idx)
+                t = t.append_column(
+                    f"nth{k}_{c}",
+                    pc.if_else(valid, picked, pa.scalar(None, col.type)))
+        return t
+
+    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")
+
+
 def hopping(
     ds,
     entity: str,

@@ -162,6 +162,18 @@ def q_lag_lead(sf_dir):
     return out.select_columns(["event_id", "lag1_value", "lag2_value", "lead1_value"])
 
 
+def q_first_last(sf_dir):
+    """FIRST/LAST/NTH_VALUE(value, 2) per user over the full entity
+    timeline (unbounded frame). Values are picked, not computed, so the
+    oracle comparison is bit-exact — no rounding."""
+    from engine.ops.window import with_first_last
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = with_first_last(ev, entity="user_id", cols=["value"], nth=[2],
+                          tie_break="event_id")
+    return out.select_columns(["event_id", "first_value", "last_value", "nth2_value"])
+
+
 def q_event_ranks(sf_dir):
     from engine.ops.window import with_row_number
 
@@ -877,6 +889,14 @@ ORACLE_SQL = {
                ROUND(CUME_DIST() OVER (PARTITION BY user_id
                               ORDER BY CAST(floor(value) AS BIGINT)), 6) AS cume_dist
         FROM events""",
+    "first_last": """
+        SELECT event_id,
+               FIRST_VALUE(value) OVER w AS first_value,
+               LAST_VALUE(value) OVER w AS last_value,
+               NTH_VALUE(value, 2) OVER w AS nth2_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     "lag_lead": """
         SELECT event_id,
                LAG(value, 1) OVER w AS lag1_value,
@@ -1137,6 +1157,7 @@ QUERIES = {
     "range_join": q_range_join,
     "event_ranks": q_event_ranks,
     "event_rank_stats": q_event_rank_stats,
+    "first_last": q_first_last,
     "lag_lead": q_lag_lead,
     "rolling_24h": q_rolling_24h,
     "expanding": q_expanding,

@@ -167,3 +167,56 @@ def test_hopping_rejects_bad_hop(ray_session):
     ev = rd.read_parquet(f"{SF}/events.parquet")
     with pytest.raises(ValueError):
         hopping(ev, entity="user_id", width_us=100, hop_us=33)
+
+
+def test_first_last_matches_duckdb(ray_session, con):
+    import ray.data as rd
+
+    from engine.ops.window import with_first_last
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    got = (
+        with_first_last(ev, entity="user_id", cols=["value"], nth=[2, 3],
+                        tie_break="event_id", num_partitions=6)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = con.execute("""
+        SELECT event_id,
+               FIRST_VALUE(value) OVER w AS first_value,
+               LAST_VALUE(value) OVER w AS last_value,
+               NTH_VALUE(value, 2) OVER w AS nth2_value,
+               NTH_VALUE(value, 3) OVER w AS nth3_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY event_id""").fetchdf()
+    for c in ["first_value", "last_value", "nth2_value", "nth3_value"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy(), err_msg=c)
+
+
+def test_first_last_planted_edges(ray_session):
+    """Single-event entity: first == last == value, nth2 is null; string
+    payload column picked type-generically."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "e": ["a", "a", "a", "b"],
+        "ts": pd.to_datetime([1, 2, 3, 5], unit="s"),
+        "v": [10.0, 20.0, 30.0, 7.0],
+        "s": ["x", "y", "z", "solo"],
+    })
+    from engine.ops.window import with_first_last
+
+    got = (with_first_last(rd.from_pandas(df), entity="e", ts="ts",
+                           cols=["v", "s"], nth=[2], num_partitions=3)
+           .to_pandas().sort_values(["e", "ts"]).reset_index(drop=True))
+    assert got["first_v"].tolist() == [10.0, 10.0, 10.0, 7.0]
+    assert got["last_v"].tolist() == [30.0, 30.0, 30.0, 7.0]
+    assert got["first_s"].tolist() == ["x", "x", "x", "solo"]
+    assert got["last_s"].tolist() == ["z", "z", "z", "solo"]
+    assert got["nth2_v"].tolist()[:3] == [20.0, 20.0, 20.0]
+    assert pd.isna(got["nth2_v"].iloc[3])
+    assert got["nth2_s"].tolist()[:3] == ["y", "y", "y"]
+    assert got["nth2_s"].iloc[3] is None or pd.isna(got["nth2_s"].iloc[3])
