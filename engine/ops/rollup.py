@@ -71,6 +71,45 @@ def _total_row(total: dict | None, ktypes: dict, keys: list[str],
     return rd.from_arrow(pa.table(cols))
 
 
+def cube(ds, keys: list[str], value: str,
+         sum_name: str = "sum_value", cnt_name: str = "n"):
+    """GROUP BY CUBE(keys...) with SUM(value) and COUNT(*).
+
+    One row per grouping set over EVERY subset of keys (2^n sets).
+    Scale shape mirrors rollup(): only the finest level touches the
+    input (one partial+final exchange); every other subset re-aggregates
+    the finest level's result — |distinct key combos| rows, not |input|
+    rows. Unlike rollup the subsets don't chain (e.g. (b) is not
+    derivable from (a)), so each re-groups the finest level directly;
+    with n <= 4 keys that is <= 15 aggregations over a tiny table."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Count, Sum
+
+    from engine.ops.util import arrow_schema
+
+    if len(keys) > 4:
+        raise ValueError("cube: > 4 keys means 2^n grouping sets — pick fewer")
+    sch = arrow_schema(ds)
+    ktypes = {k: sch.field(k).type for k in keys}
+
+    finest = ds.groupby(keys).aggregate(Sum(value, alias_name=sum_name),
+                                        Count(alias_name=cnt_name))
+    parts = [finest]
+    for r in range(len(keys) - 1, 0, -1):
+        for subset in combinations(keys, r):
+            lv = finest.groupby(list(subset)).aggregate(
+                Sum(sum_name, alias_name=sum_name), Sum(cnt_name, alias_name=cnt_name))
+            parts.append(_null_pad(lv, ktypes, [k for k in keys if k not in subset]))
+    total = finest.aggregate(Sum(sum_name, alias_name=sum_name),
+                             Sum(cnt_name, alias_name=cnt_name))
+    parts.append(_total_row(total, ktypes, keys, sum_name, cnt_name))
+    res = parts[0]
+    for part in parts[1:]:
+        res = res.union(part)
+    return res
+
+
 # ------------------------------------------------------------ histogram --
 
 def histogram(ds, col: str, lo: float, hi: float, nbins: int,

@@ -720,6 +720,30 @@ def q_rollup_daily_type(sf_dir):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_cube_daily_type(sf_dir):
+    """GROUP BY CUBE(day, event_type) — adds the (event_type)-only
+    grouping set rollup can't express. Finest level aggregates the input
+    once; the three coarser sets re-aggregate that tiny result.
+    Value-exact vs DuckDB CUBE."""
+    from engine.ops.rollup import cube
+    from engine.ops.scalar import date_trunc_day
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"day": date_trunc_day(t["ts"]),
+                         "event_type": t["event_type"], "value": t["value"]})
+
+    tagged = _keep_tag(ev.map_batches(f, batch_format="pyarrow"), ev)
+    out = cube(tagged, ["day", "event_type"], "value")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("sum_value"), "sum_value",
+                            pa.array(sql_round(t["sum_value"].to_numpy(zero_copy_only=False), 6)))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 def q_value_histogram(sf_dir):
     """Fixed-width 20-bin histogram of events.value — per-batch bincount
     partials + one tiny groupby-sum; the value column never shuffles.
@@ -1133,6 +1157,11 @@ ORACLE_SQL["rollup_daily_type"] = """
            ROUND(SUM(value), 6) AS sum_value, COUNT(*) AS n
     FROM events GROUP BY ROLLUP(day, event_type)"""
 
+ORACLE_SQL["cube_daily_type"] = """
+    SELECT date_trunc('day', ts) AS day, event_type,
+           ROUND(SUM(value), 6) AS sum_value, COUNT(*) AS n
+    FROM events GROUP BY CUBE(day, event_type)"""
+
 from engine.ops.rollup import histogram_sql as _hist_sql
 
 ORACLE_SQL["value_histogram"] = _hist_sql("events", "value", 0.0, 200.0, 20)
@@ -1196,6 +1225,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "daily_counts": q_daily_counts,
     "rollup_daily_type": q_rollup_daily_type,
+    "cube_daily_type": q_cube_daily_type,
     "value_histogram": q_value_histogram,
     "doc_tokens": q_doc_tokens,
     "dedup_events": q_dedup_events,

@@ -87,3 +87,40 @@ def test_histogram_nulls_skipped(ray_session):
     got = histogram(rd.from_arrow(t), "v", lo=0.0, hi=10.0, nbins=10).to_pandas()
     assert got["cnt"].sum() == 3
     assert set(got["bin"]) == {1, 3, 9}
+
+
+def _pandas_cube(df):
+    fine = df.groupby(["region", "product"], as_index=False).agg(
+        sum_value=("amount", "sum"), n=("amount", "size"))
+    by_r = df.groupby(["region"], as_index=False).agg(
+        sum_value=("amount", "sum"), n=("amount", "size"))
+    by_r["product"] = None
+    by_p = df.groupby(["product"], as_index=False).agg(
+        sum_value=("amount", "sum"), n=("amount", "size"))
+    by_p["region"] = None
+    total = pd.DataFrame({"region": [None], "product": [None],
+                          "sum_value": [df["amount"].sum()], "n": [len(df)]})
+    return pd.concat([fine, by_r, by_p, total], ignore_index=True)
+
+
+def test_cube_vs_pandas(sales):
+    from engine.ops.rollup import cube
+
+    ds, df = sales
+    got = cube(ds, ["region", "product"], "amount").to_pandas()
+    want = _pandas_cube(df)
+    key = ["region", "product"]
+    got = got.sort_values(key, na_position="first").reset_index(drop=True)
+    want = want.sort_values(key, na_position="first").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got[key].fillna("~").equals(want[key].fillna("~"))
+    assert np.allclose(got["sum_value"], want["sum_value"])
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_cube_rejects_too_many_keys(sales):
+    from engine.ops.rollup import cube
+
+    ds, _df = sales
+    with pytest.raises(ValueError, match="grouping sets"):
+        cube(ds, ["a", "b", "c", "d", "e"], "amount")
