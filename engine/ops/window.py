@@ -340,6 +340,42 @@ def tumbling(
     return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")
 
 
+def ewma(
+    ds,
+    entity: str,
+    ts: str = "ts",
+    cols: list[str] = ("value",),
+    halflife_us: float = 24 * 3600 * 1_000_000,
+    tie_break: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Time-decayed EWMA per entity — adds ewma_{col} where each row's
+    value is the half-life-weighted mean of ALL its entity's history up
+    to and including that row (weight 2^-(age/halflife)). The classic
+    leakage-safe decayed-aggregate feature: only past rows contribute,
+    irregular event spacing handled exactly (decay is continuous in
+    time, not per-row alpha).
+
+    Same single entity-hash exchange as every window op; the kernel
+    (wkernel.ewma_arrays) is renormalized-prefix-sum vectorized with a
+    per-run (never per-row) carry loop. No SQL window expresses this, so
+    the contract entry is rows-only; correctness is the sequential
+    per-row recurrence parity test."""
+    from engine.ops.wkernel import ewma_arrays
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = _strip(t)
+        if t.num_rows == 0:
+            return _with_empty(t, [(f"ewma_{c}", pa.float64()) for c in cols])
+        t, _codes, tsv, change = entity_sort(t, entity, ts, tie_break)
+        for c in cols:
+            t = t.append_column(
+                f"ewma_{c}", pa.array(ewma_arrays(_f64(t, c), tsv, change, halflife_us)))
+        return t
+
+    return _partitioned(ds, entity, num_partitions).map_groups(fn, batch_format="pyarrow")
+
+
 def with_first_last(
     ds,
     entity: str,

@@ -200,3 +200,52 @@ def run_reduce(first: np.ndarray, v: np.ndarray | None = None):
     if v is not None:
         sums = window_sums(v.astype(np.float64), starts, ends)
     return starts, ends, counts, sums
+
+
+def ewma_arrays(v: np.ndarray, tsv: np.ndarray, change: np.ndarray,
+                halflife_us: float, block_halflives: float = 512.0) -> np.ndarray:
+    """Time-decayed exponentially weighted moving average per entity:
+    ewma_i = sum_{j<=i} v_j 2^-((t_i-t_j)/hl) / sum_{j<=i} 2^-((t_i-t_j)/hl)
+    over (entity, ts)-sorted rows (``change`` marks entity starts).
+
+    Vectorized via per-run renormalized prefix sums: within a run
+    (entity segment split wherever the halflife-scaled time offset
+    crosses a ``block_halflives`` boundary, so every exponent stays in
+    [0, 512) — far from float64 overflow at 2^1024), both numerator and
+    weight are ONE cumsum of v_j*2^e_j; history older than the run
+    arrives as a scalar carry decayed once per run boundary (it
+    underflows to exactly 0 past ~1074 halflives — where its true
+    contribution is below any representable difference). The Python
+    loop is per RUN (~one per entity plus one per 512 halflives of
+    span), never per row. Equals the sequential per-row recurrence to
+    float64 rounding (tests/test_window.py parity)."""
+    n = v.size
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    d = tsv.astype(np.float64) / float(halflife_us)
+    starts_seg, _ends, seg_id, _pos = segments(change)
+    d_rel = d - d[starts_seg[seg_id]]
+    blk = np.floor(d_rel / block_halflives)
+    rchange = change.copy()
+    rchange[1:] |= blk[1:] != blk[:-1]
+    rstarts = np.flatnonzero(rchange)
+    rends = np.append(rstarts[1:], n)
+    cv = cw = prev_base = 0.0
+    for lo, hi in zip(rstarts, rends):
+        e = d_rel[lo:hi] - d_rel[lo]
+        w = np.exp2(e)
+        pv = np.cumsum(v[lo:hi] * w)
+        pw = np.cumsum(w)
+        if change[lo]:
+            cv = cw = 0.0
+        else:
+            scale = np.exp2(prev_base - d_rel[lo])
+            cv *= scale
+            cw *= scale
+        # the 2^-e_i decay cancels between numerator and weight
+        out[lo:hi] = (pv + cv) / (pw + cw)
+        cv += pv[-1]
+        cw += pw[-1]
+        prev_base = d_rel[lo]
+    return out

@@ -162,6 +162,18 @@ def q_lag_lead(sf_dir):
     return out.select_columns(["event_id", "lag1_value", "lag2_value", "lead1_value"])
 
 
+def q_ewma(sf_dir):
+    """Time-decayed EWMA of value per user (6h half-life). No SQL window
+    expresses continuous-time decay, so this is rows-only; correctness
+    is the sequential-recurrence parity pytest (tests/test_window.py)."""
+    from engine.ops.window import ewma
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = ewma(ev, entity="user_id", cols=["value"],
+               halflife_us=6 * 3600 * 1_000_000, tie_break="event_id")
+    return out.select_columns(["event_id", "ewma_value"])
+
+
 def q_first_last(sf_dir):
     """FIRST/LAST/NTH_VALUE(value, 2) per user over the full entity
     timeline (unbounded frame). Values are picked, not computed, so the
@@ -1187,6 +1199,7 @@ QUERIES = {
     "event_ranks": q_event_ranks,
     "event_rank_stats": q_event_rank_stats,
     "first_last": q_first_last,
+    "ewma_value": q_ewma,
     "lag_lead": q_lag_lead,
     "rolling_24h": q_rolling_24h,
     "expanding": q_expanding,

@@ -220,3 +220,72 @@ def test_first_last_planted_edges(ray_session):
     assert pd.isna(got["nth2_v"].iloc[3])
     assert got["nth2_s"].tolist()[:3] == ["y", "y", "y"]
     assert got["nth2_s"].iloc[3] is None or pd.isna(got["nth2_s"].iloc[3])
+
+
+def _ewma_sequential(ts_us, v, hl_us):
+    """Per-row recurrence oracle: s = s*decay + v_i, w = w*decay + 1."""
+    out = np.empty(len(v))
+    s = w = 0.0
+    prev = None
+    for i, (t, x) in enumerate(zip(ts_us, v)):
+        dec = 2.0 ** (-(t - prev) / hl_us) if prev is not None else 0.0
+        s = s * dec + x
+        w = w * dec + 1.0
+        out[i] = s / w
+        prev = t
+    return out
+
+
+def test_ewma_matches_sequential_recurrence(ray_session):
+    import ray.data as rd
+
+    from engine.ops.window import ewma
+
+    rng = np.random.default_rng(11)
+    n = 4_000
+    df = pd.DataFrame({
+        "e": [f"u{i}" for i in rng.integers(0, 37, n)],
+        "ts": pd.to_datetime(np.sort(rng.integers(0, 10**9, n)), unit="us"),
+        "v": rng.normal(50.0, 20.0, n),
+        "k": np.arange(n),
+    })
+    hl = 3_600_000_000.0  # 1h
+    got = (ewma(rd.from_pandas(df).repartition(5), entity="e", ts="ts", cols=["v"],
+                halflife_us=hl, tie_break="k", num_partitions=6)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = np.empty(n)
+    sdf = df.sort_values(["e", "ts", "k"])
+    for _, g in sdf.groupby("e"):
+        want[g["k"].to_numpy()] = _ewma_sequential(
+            g["ts"].astype("int64").to_numpy() // 1000, g["v"].to_numpy(), hl)
+    np.testing.assert_allclose(got["ewma_v"].to_numpy(), want, rtol=1e-9)
+
+
+def test_ewma_partition_invariance_and_long_span(ray_session):
+    """A single entity spanning ~40,000 halflives (many renormalization
+    blocks, carries underflowing to 0) still matches the sequential
+    recurrence, and P=1 == P=8 bit-exactly."""
+    import ray.data as rd
+
+    from engine.ops.window import ewma
+
+    rng = np.random.default_rng(7)
+    n = 3_000
+    ts_us = np.cumsum(rng.integers(1, 100_000_000, n))  # gaps up to ~28 hl
+    df = pd.DataFrame({
+        "e": "solo",
+        "ts": pd.to_datetime(ts_us, unit="us"),
+        "v": rng.normal(0.0, 5.0, n),
+        "k": np.arange(n),
+    })
+    hl = 3_600_000_000.0
+    a = (ewma(rd.from_pandas(df), entity="e", ts="ts", cols=["v"], halflife_us=hl,
+              tie_break="k", num_partitions=1)
+         .to_pandas().sort_values("k")["ewma_v"].to_numpy())
+    b = (ewma(rd.from_pandas(df).repartition(8), entity="e", ts="ts", cols=["v"],
+              halflife_us=hl, tie_break="k", num_partitions=8)
+         .to_pandas().sort_values("k")["ewma_v"].to_numpy())
+    np.testing.assert_array_equal(a, b)
+    want = _ewma_sequential(ts_us, df["v"].to_numpy(), hl)
+    np.testing.assert_allclose(a, want, rtol=1e-8)
+    assert np.isfinite(a).all()
