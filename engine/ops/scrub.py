@@ -121,3 +121,52 @@ def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ------------------------------------------------------- normalize_text --
+
+# RE2 syntax throughout (pyarrow's replace_substring_regex and DuckDB's
+# regexp_replace both run RE2): control chars out, whitespace runs to one
+# space, then the at-most-one leading/trailing space off. \s in RE2 is
+# ASCII [\t\n\f\r ] on both sides.
+CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+WS_RUN_RE = r"\s+"
+EDGE_SPACE_RE = r"^ | $"
+
+
+class TextNormalizer:
+    """doc_id + text -> doc_id, normalized text, n_chars.
+
+    Strip control characters, collapse whitespace runs to single spaces,
+    trim, optional lowercase — the standard cleanup pass before dedup /
+    tokenization (whitespace variants otherwise defeat exact and n-gram
+    dedup). Pure vectorized Arrow RE2 kernels, map-only (streams at read
+    speed); value-exact DuckDB oracle via the identical nested
+    regexp_replace chain."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 lowercase: bool = True):
+        self.id_col, self.text_col, self.lowercase = id_col, text_col, lowercase
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = t[self.text_col]
+        text = pc.replace_substring_regex(text, CONTROL_RE, "")
+        text = pc.replace_substring_regex(text, WS_RUN_RE, " ")
+        text = pc.replace_substring_regex(text, EDGE_SPACE_RE, "")
+        if self.lowercase:
+            text = pc.utf8_lower(text)
+        return pa.table({self.id_col: t[self.id_col], "text": text,
+                         "n_chars": pc.cast(pc.utf8_length(text), pa.int64())})
+
+
+def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text",
+                   lowercase: bool = True):
+    from engine.ops.util import stage_task
+
+    return ds.map_batches(
+        stage_task,
+        fn_kwargs={"_stage_cls": TextNormalizer, "id_col": id_col,
+                   "text_col": text_col, "lowercase": lowercase},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -104,6 +104,13 @@ def q_pii_scrub(sf_dir):
     return pii_scrub(docs)
 
 
+def q_normalize_text(sf_dir):
+    from engine.ops.scrub import normalize_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return normalize_text(docs)
+
+
 def q_chunk_documents(sf_dir):
     from engine.ops.scrub import chunk_documents
 
@@ -536,6 +543,20 @@ ORACLE_SQL_ML = {
                n_email, n_ip,
                len(regexp_extract_all(text, '{_PHONE}')) AS n_phone
         FROM s2""",
+    # same RE2-shared chain as pii_scrub: control chars out, \s runs to
+    # one space, edge spaces off, lower. \x escapes are RE2 syntax inside
+    # the SQL string literal, not SQL escapes.
+    "normalize_text": r"""
+        SELECT doc_id,
+               lower(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                   '\s+', ' ', 'g'),
+                   '^ | $', '', 'g')) AS text,
+               length(lower(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                   '\s+', ' ', 'g'),
+                   '^ | $', '', 'g'))) AS n_chars
+        FROM documents""",
     "chunk_documents": """
         SELECT doc_id,
                i AS chunk_idx,
@@ -732,6 +753,7 @@ QUERIES_ML = {
     "fingerprints": q_fingerprints,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
+    "normalize_text": q_normalize_text,
     "chunk_documents": q_chunk_documents,
     "line_dedup": q_line_dedup,
     "gopher_quality_filter": q_gopher_quality_filter,

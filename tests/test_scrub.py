@@ -187,3 +187,37 @@ def test_stage_task_caches_per_config(ray_session):
     assert built == ["p", "q"]  # one construction per distinct config
     keys = [k for k in _STAGE_STATE if k[1].endswith("Tagger")]
     assert len(keys) == 2
+
+
+MESSY_DOCS = pd.DataFrame({
+    "doc_id": np.arange(7, dtype=np.int64),
+    "text": [
+        "  leading and trailing   ",
+        "tabs\tand\nnewlines\r\nand \x0b\x0cverticals",  # VT/FF are control-stripped, not spaces
+        "MiXeD CaSe TEXT",
+        "ctrl\x00chars\x07here\x1f\x7fgone",
+        "",
+        "   \t \n  ",  # whitespace-only -> empty
+        "already clean single spaced",
+    ],
+})
+
+
+def test_normalize_text_matches_duckdb_oracle(ray_session):
+    import ray.data as rd
+
+    from engine.ops.scrub import normalize_text
+    from engine.queries_ml import ORACLE_SQL_ML
+
+    got = (normalize_text(rd.from_pandas(MESSY_DOCS).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp = _duck(MESSY_DOCS, ORACLE_SQL_ML["normalize_text"] + " ORDER BY doc_id")
+    assert got["text"].tolist() == exp["text"].tolist()
+    assert got["n_chars"].tolist() == exp["n_chars"].tolist()
+    # planted semantics, independent of the oracle
+    assert got["text"][0] == "leading and trailing"
+    assert got["text"][1] == "tabs and newlines and verticals"
+    assert got["text"][2] == "mixed case text"
+    assert got["text"][3] == "ctrlchars" + "here" + "gone"
+    assert got["text"][4] == "" and got["text"][5] == ""
+    assert got["text"][6] == "already clean single spaced"
