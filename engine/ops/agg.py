@@ -520,3 +520,62 @@ def weighted_sample_sql(table: str, k: int, key: str, weight_col: str,
         f"SELECT *, ln((CAST({h} AS DOUBLE) + 0.5) / 18446744073709551616.0)"
         f" / {weight_col} AS wk FROM {table} WHERE {weight_col} > 0 "
         f"ORDER BY wk DESC, {key} LIMIT {k})")
+
+
+def grouped_corr(ds, key, x: str, y: str, round_digits: int = 6):
+    """Per-group Pearson correlation + population covariance (SQL
+    CORR / COVAR_POP / the two variances).
+
+    Shape: per-batch moment partials (n, Σx, Σy, Σx², Σy², Σxy — ONE
+    Arrow group_by per batch, at most |groups| rows each) -> one tiny
+    groupby-sum exchange -> vectorized finish. The input columns never
+    shuffle. Partial sums accumulate in longdouble inside each batch;
+    the raw-moment form loses ~2 digits to cancellation when
+    |mean| >> stddev, so pre-center wide-magnitude columns (e.g.
+    epoch-microsecond timestamps) before calling — documented contract,
+    same as every raw-moment engine."""
+    from ray.data.aggregate import Sum
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def partial(t: pa.Table) -> pa.Table:
+        xv = t[x].to_numpy(zero_copy_only=False).astype(np.longdouble)
+        yv = t[y].to_numpy(zero_copy_only=False).astype(np.longdouble)
+        g = pa.table({
+            **{k: t[k] for k in keys},
+            "_n": pa.array(np.ones(len(xv), np.int64)),
+            "_sx": pa.array(xv.astype(np.float64)),
+            "_sy": pa.array(yv.astype(np.float64)),
+            "_sxx": pa.array((xv * xv).astype(np.float64)),
+            "_syy": pa.array((yv * yv).astype(np.float64)),
+            "_sxy": pa.array((xv * yv).astype(np.float64)),
+        })
+        return g.group_by(keys).aggregate(
+            [("_n", "sum"), ("_sx", "sum"), ("_sy", "sum"), ("_sxx", "sum"),
+             ("_syy", "sum"), ("_sxy", "sum")])
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = pre.groupby(keys).aggregate(
+        Sum("_n_sum", alias_name="n"), Sum("_sx_sum", alias_name="sx"),
+        Sum("_sy_sum", alias_name="sy"), Sum("_sxx_sum", alias_name="sxx"),
+        Sum("_syy_sum", alias_name="syy"), Sum("_sxy_sum", alias_name="sxy"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        cov = t["sxy"].to_numpy(zero_copy_only=False) / n - (sx / n) * (sy / n)
+        vx = t["sxx"].to_numpy(zero_copy_only=False) / n - (sx / n) ** 2
+        vy = t["syy"].to_numpy(zero_copy_only=False) / n - (sy / n) ** 2
+        denom = np.sqrt(np.maximum(vx, 0.0) * np.maximum(vy, 0.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = np.where(denom > 0, cov / denom, np.nan)
+        from engine.queries import sql_round
+
+        out = {k: t[k] for k in keys}
+        out["n"] = pa.array(t["n"].to_numpy(zero_copy_only=False))
+        out["covar_pop"] = pa.array(sql_round(cov, round_digits))
+        out["corr"] = pa.array(sql_round(corr, round_digits))
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

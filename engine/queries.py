@@ -708,6 +708,17 @@ def q_daily_counts(sf_dir):
     return ev.map_batches(f, batch_format="pyarrow").groupby("day").aggregate(Count(alias_name="n"))
 
 
+def q_corr_qty_price(sf_dir):
+    """CORR / COVAR_POP of (l_quantity, l_extendedprice) per returnflag —
+    per-batch moment partials, one tiny exchange, vectorized finish.
+    Value-exact vs the DuckDB aggregates (both sides rounded to 6)."""
+    from engine.ops.agg import grouped_corr
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_corr(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
 def q_rollup_daily_type(sf_dir):
     """GROUP BY ROLLUP(day, event_type): finest level aggregates the
     input once; each subtotal level re-aggregates the previous (tiny)
@@ -1169,6 +1180,12 @@ ORACLE_SQL["rollup_daily_type"] = """
            ROUND(SUM(value), 6) AS sum_value, COUNT(*) AS n
     FROM events GROUP BY ROLLUP(day, event_type)"""
 
+ORACLE_SQL["corr_qty_price"] = """
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(COVAR_POP(l_quantity, l_extendedprice), 6) AS covar_pop,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr
+    FROM lineitem GROUP BY l_returnflag"""
+
 ORACLE_SQL["cube_daily_type"] = """
     SELECT date_trunc('day', ts) AS day, event_type,
            ROUND(SUM(value), 6) AS sum_value, COUNT(*) AS n
@@ -1239,6 +1256,7 @@ QUERIES = {
     "daily_counts": q_daily_counts,
     "rollup_daily_type": q_rollup_daily_type,
     "cube_daily_type": q_cube_daily_type,
+    "corr_qty_price": q_corr_qty_price,
     "value_histogram": q_value_histogram,
     "doc_tokens": q_doc_tokens,
     "dedup_events": q_dedup_events,

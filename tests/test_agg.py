@@ -190,3 +190,31 @@ def test_grouped_sample_k_partition_invariant(ray_session):
     kb = sorted(map(tuple, b[["g", "id"]].to_numpy()))
     assert ka == kb
     assert a.groupby("g").size().eq(5).all()
+
+
+def test_grouped_corr_vs_numpy_and_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from engine.ops.agg import grouped_corr
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    g = rng.integers(0, 5, n)
+    x = rng.normal(10.0, 3.0, n)
+    y = 2.5 * x + rng.normal(0.0, 4.0, n)  # known positive correlation
+    df = pd.DataFrame({"g": [f"g{i}" for i in g], "x": x, "y": y})
+
+    got = (grouped_corr(rd.from_pandas(df).repartition(7), "g", "x", "y")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    for _, row in got.iterrows():
+        m = df["g"] == row["g"]
+        want_corr = np.corrcoef(df.loc[m, "x"], df.loc[m, "y"])[0, 1]
+        want_cov = np.cov(df.loc[m, "x"], df.loc[m, "y"], bias=True)[0, 1]
+        assert row["n"] == int(m.sum())
+        assert abs(row["corr"] - round(want_corr, 6)) <= 1e-6
+        assert abs(row["covar_pop"] - round(want_cov, 6)) <= 1e-6
+
+    again = (grouped_corr(rd.from_pandas(df).repartition(1), "g", "x", "y")
+             .to_pandas().sort_values("g").reset_index(drop=True))
+    assert (got["corr"].to_numpy() == again["corr"].to_numpy()).all()
+    assert (got["covar_pop"].to_numpy() == again["covar_pop"].to_numpy()).all()
