@@ -514,6 +514,18 @@ def q_approx_distinct_users(sf_dir):
     return pd.DataFrame({"n_users_approx": [approx_distinct(ev, "user_id")]})
 
 
+def q_approx_distinct_by_type(sf_dir):
+    """GROUPED HLL: ~distinct users per event_type in one
+    groupby-of-sketches exchange (register arrays max-combine, so the
+    estimate is partition-count invariant and deterministic). No SQL
+    oracle (approximate); pytest asserts the per-group error bound."""
+    from engine.ops.sketch import ApproxDistinct
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return ev.groupby("event_type").aggregate(
+        ApproxDistinct(on="user_id", alias_name="nd_users"))
+
+
 def q_bloom_anti_join(sf_dir):
     """Customers with no orders via the bloom-prefiltered anti join
     (engine/ops/bloom.py): build-side bitmap tree-aggregate + one probe
@@ -1243,6 +1255,7 @@ QUERIES = {
     "intersect_buyers_viewers": q_intersect_buyers_viewers,
     "except_viewers_only": q_except_viewers_only,
     "approx_distinct_users": q_approx_distinct_users,
+    "approx_distinct_by_type": q_approx_distinct_by_type,
     "heavy_hitters": q_heavy_hitters,
     "bloom_anti_join": q_bloom_anti_join,
     "approx_quantiles_value": q_approx_quantiles_value,

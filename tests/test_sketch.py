@@ -46,3 +46,28 @@ def test_approx_distinct_dataset(ray_session):
     )
     for et, e in exact_per.items():
         assert abs(per_type[et] - e) / e < 0.15, (et, e, per_type[et])
+
+
+def test_grouped_hll_error_bound_and_partition_invariance(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from engine.ops.sketch import ApproxDistinct
+
+    sf = "/root/testdata/sf0.001"
+    exact = duckdb.sql(
+        f"SELECT event_type, COUNT(DISTINCT user_id) AS nd FROM "
+        f"read_parquet('{sf}/events.parquet') GROUP BY event_type").df()
+    ev = rd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "user_id"])
+    got = (ev.groupby("event_type")
+             .aggregate(ApproxDistinct(on="user_id", alias_name="nd_users"))
+             .to_pandas().sort_values("event_type").reset_index(drop=True))
+    exact = exact.sort_values("event_type").reset_index(drop=True)
+    assert got["event_type"].tolist() == exact["event_type"].tolist()
+    for g, e in zip(got["nd_users"], exact["nd"]):
+        assert abs(g - e) <= max(0.05 * e, 2), (g, e)
+
+    again = (ev.repartition(13).groupby("event_type")
+               .aggregate(ApproxDistinct(on="user_id", alias_name="nd_users"))
+               .to_pandas().sort_values("event_type").reset_index(drop=True))
+    assert got["nd_users"].tolist() == again["nd_users"].tolist()
