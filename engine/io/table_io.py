@@ -113,3 +113,81 @@ class TableIO:
         tmp.write_text(json.dumps(man, indent=1))
         os.rename(tmp, vdir / f"{next_version}.manifest.json")
         return man
+
+    @staticmethod
+    def compact(uri: str, target_rows: int = 1_000_000) -> dict:
+        """Small-fragment compaction (the Lance/Iceberg maintenance op):
+        rewrite runs of fragments smaller than ``target_rows`` into
+        fewer, bigger ones and commit the result as a NEW manifest
+        version. Fragments already >= target_rows are carried over
+        verbatim — their files are never rewritten or moved, so the
+        rewrite cost is proportional to the SMALL-file volume only.
+        Older versions still reference the original small fragments
+        (version-qualified names are never clobbered), so time travel
+        survives compaction; a failed compaction leaves the previous
+        manifest as latest (the commit is the same atomic rename).
+
+        Streams each rewrite group through Ray (read_parquet ->
+        write_parquet), never materializing a group on the driver."""
+        import ray.data as rd
+
+        root = Path(uri)
+        man = TableIO.manifest(uri)
+        keep, group, groups = [], [], []
+        grows = 0
+        for f in man["fragments"]:
+            if f["rows"] >= target_rows:
+                keep.append(f)
+                continue
+            group.append(f)
+            grows += f["rows"]
+            if grows >= target_rows:
+                groups.append(group)
+                group, grows = [], 0
+        if group:
+            groups.append(group)
+        if sum(len(g) for g in groups) <= len(groups):
+            return man  # nothing to merge (every group is a single fragment)
+
+        next_version = TableIO.versions(uri)[-1] + 1
+        data = root / "data"
+        new_frags = []
+        fid = max((f["id"] for f in man["fragments"]), default=-1) + 1
+        import pyarrow.parquet as pq
+
+        for g in groups:
+            if len(g) == 1:
+                keep.append(g[0])
+                continue
+            paths = [str(root / f["path"]) for f in g]
+            name = f"frag-{fid}-v{next_version}-epoch-0.parquet"
+            staging = root / f".staging-compact-{next_version}-{fid}"
+            staging.mkdir(parents=True, exist_ok=True)
+            # one output file per group: the group was sized to target_rows
+            rd.read_parquet(paths, override_num_blocks=1).write_parquet(str(staging))
+            parts = sorted(staging.glob("*.parquet"))
+            if len(parts) == 1:
+                os.rename(parts[0], data / name)
+                rows = pq.read_metadata(data / name).num_rows
+                new_frags.append({"id": fid, "path": f"data/{name}", "rows": rows,
+                                  "compacted_from": [f["id"] for f in g]})
+                fid += 1
+            else:  # defensive: writer split the block anyway — keep each part
+                for p in parts:
+                    nm = f"frag-{fid}-v{next_version}-epoch-0.parquet"
+                    os.rename(p, data / nm)
+                    rows = pq.read_metadata(data / nm).num_rows
+                    new_frags.append({"id": fid, "path": f"data/{nm}", "rows": rows,
+                                      "compacted_from": [f["id"] for f in g]})
+                    fid += 1
+            staging.rmdir()
+
+        frags = sorted(keep, key=lambda f: f["id"]) + new_frags
+        out = {"version": next_version, "created_at": time.time(),
+               "fragments": frags, "rows": sum(f["rows"] for f in frags),
+               "compaction_of": man["version"]}
+        vdir = root / "_versions"
+        tmp = vdir / f".tmp-{next_version}.manifest.json"
+        tmp.write_text(json.dumps(out, indent=1))
+        os.rename(tmp, vdir / f"{next_version}.manifest.json")
+        return out

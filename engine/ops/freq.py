@@ -76,6 +76,8 @@ class MisraGries(AggregateFnV2):
         col = block[self._target_col_name]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if not isinstance(col, pa.Array):  # pandas block (from_pandas datasets)
+            col = pa.Array.from_pandas(col)
         col = col.drop_null()
         if len(col) == 0:
             return _mg_pack([], [], 0)
@@ -104,14 +106,18 @@ class MisraGries(AggregateFnV2):
         return {"keys": keys, "counts": counts, "n": n}
 
 
-def heavy_hitters(ds, col: str, phi: float = 0.05, k: int | None = None):
+def heavy_hitters(ds, col: str, phi: float = 0.05, k: int | None = None,
+                  return_total: bool = False):
     """EXACT phi-heavy hitters (keys with count > phi*n) with no key
     shuffle: MG candidate sketch (tree aggregate) -> broadcast the <=k
     candidates -> one map pass of exact per-batch candidate counts (a
     batches x k table) -> tiny groupby-sum -> threshold filter.
 
-    Returns a Dataset with columns (key, cnt), cnt exact. Value-exact vs
-    `GROUP BY ... HAVING count(*) > phi * total`."""
+    Returns a Dataset with columns (key, cnt), cnt exact (or a
+    (Dataset, total_rows) pair with ``return_total`` — the total falls
+    out of the sketch pass for free and lets callers like skew_join
+    detect all-hot inputs without a count() of their own). Value-exact
+    vs `GROUP BY ... HAVING count(*) > phi * total`."""
     import ray.data as rd
 
     if k is None:
@@ -120,8 +126,9 @@ def heavy_hitters(ds, col: str, phi: float = 0.05, k: int | None = None):
     summ = (agg or {}).get("mg")  # ds.aggregate -> None on an empty dataset
     cand, n = (summ["keys"], summ["n"]) if summ else (np.empty(0, object), 0)
     if len(cand) == 0 or n == 0:
-        return rd.from_arrow(pa.table({"key": pa.array([], pa.string()),
-                                       "cnt": pa.array([], pa.int64())}))
+        empty = rd.from_arrow(pa.table({"key": pa.array([], pa.string()),
+                                        "cnt": pa.array([], pa.int64())}))
+        return (empty, int(n)) if return_total else empty
     cand_arr = pa.array(list(cand))
     cand_idx = {v: i for i, v in enumerate(cand)}  # small; ships by value
 
@@ -148,7 +155,8 @@ def heavy_hitters(ds, col: str, phi: float = 0.05, k: int | None = None):
     def flt(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(pc.cast(t["cnt"], pa.float64()), thresh))
 
-    return exact.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+    out = exact.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+    return (out, int(n)) if return_total else out
 
 
 # ------------------------------------------------------------ t-digest --
@@ -203,6 +211,8 @@ class TDigest(AggregateFnV2):
         col = block[self._target_col_name]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if not isinstance(col, pa.Array):  # pandas block (from_pandas datasets)
+            col = pa.Array.from_pandas(col)
         col = col.drop_null()
         if len(col) == 0:
             return _td_pack(np.empty(0, np.float64), np.empty(0, np.float64))

@@ -126,3 +126,75 @@ def broadcast_semi_filter(ds, keys, on: str, negate: bool = False):
         return t.filter(pc.invert(mask) if negate else mask)
 
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def skew_join(left, right, on: str, right_on: str | None = None,
+              join_type: str = "inner", phi: float = 0.01,
+              num_partitions: int | None = None, right_suffix: str = "_r"):
+    """Skew-aware hybrid equi join — the J2 "salt hot keys" strategy in
+    join form. Hot keys (left-side count > phi*|left|, found EXACTLY by
+    the Misra-Gries candidate sketch + recount pass, engine/ops/freq.py
+    — no key shuffle) never enter the hash exchange: their left rows
+    join against the BROADCAST hot slice of the right side
+    (broadcast_lookup); the cold remainder goes through the ordinary
+    hash-partitioned join, whose per-partition row counts are now
+    bounded by phi*|left|. The two results union. Value semantics are
+    identical to equi_join / SQL JOIN — only the physical plan differs
+    (column order is normalized to name-sorted so both paths union).
+
+    Partitioning assumption (documented per SURVEY §2.6 custom-operator
+    rule): the hot slice of the RIGHT side must be broadcast-small —
+    hot keys are few by definition (< 1/phi of them), so this holds
+    unless the right side is itself skewed on the same keys, in which
+    case the join OUTPUT is quadratic and no physical strategy helps.
+
+    join_type: "inner" | "left". With no heavy hitters (uniform keys)
+    this degrades to exactly equi_join plus one cheap sketch pass.
+    """
+    import numpy as np
+
+    from engine.ops.freq import heavy_hitters
+
+    if join_type not in ("inner", "left"):
+        raise ValueError(f"skew_join supports inner/left, got {join_type}")
+    ray_join_type = "left_outer" if join_type == "left" else "inner"
+    right_on = right_on or on
+
+    def _name_sorted(t: pa.Table) -> pa.Table:
+        drop = [right_on] if right_on != on and right_on in t.schema.names else []
+        t = t.drop_columns(drop) if drop else t
+        return t.select(sorted(t.schema.names))
+
+    hot_ds, n_left = heavy_hitters(left, on, phi=phi, return_total=True)
+    hot_tbl = hot_ds.to_pandas()  # < 1/phi rows
+    if len(hot_tbl) == 0:
+        return equi_join(left, right, on, join_type=ray_join_type, right_on=right_on,
+                         num_partitions=num_partitions, right_suffix=right_suffix
+                         ).map_batches(_name_sorted, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
+    hot_keys = hot_tbl["key"].to_numpy()
+    if int(hot_tbl["cnt"].sum()) == n_left:
+        # every left row is hot (tiny key universe): the cold side is
+        # empty and Ray's hash join chokes on an all-empty-block input —
+        # run the broadcast path alone
+        hot_right = broadcast_semi_filter(right, hot_keys, right_on)
+        return broadcast_lookup(left, hot_right, on,
+                                how="left" if join_type == "left" else "inner",
+                                right_on=right_on
+                                ).map_batches(_name_sorted, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+    hot_left = broadcast_semi_filter(left, hot_keys, on)
+    cold_left = broadcast_semi_filter(left, hot_keys, on, negate=True)
+    hot_right = broadcast_semi_filter(right, hot_keys, right_on)
+    cold_right = broadcast_semi_filter(right, hot_keys, right_on, negate=True)
+
+    cold = equi_join(cold_left, cold_right, on, join_type=ray_join_type,
+                     right_on=right_on, num_partitions=num_partitions,
+                     right_suffix=right_suffix)
+    hot = broadcast_lookup(hot_left, hot_right, on,
+                           how="left" if join_type == "left" else "inner",
+                           right_on=right_on)
+    cold = cold.map_batches(_name_sorted, batch_format="pyarrow", zero_copy_batch=True)
+    hot = hot.map_batches(_name_sorted, batch_format="pyarrow", zero_copy_batch=True)
+    return cold.union(hot)

@@ -731,6 +731,28 @@ def q_corr_qty_price(sf_dir):
     return grouped_corr(li, "l_returnflag", "l_quantity", "l_extendedprice")
 
 
+def q_skew_join_events(sf_dir):
+    """Skew-aware hybrid join: events (user_id is a skewed int key — the
+    top users own percent-level shares) x customer on c_custkey. At
+    phi=0.005 the hot users route through the broadcast path while the
+    tail shuffles — both physical paths run; semantics are the plain
+    SQL JOIN. Value-exact."""
+    from ray.data.aggregate import Count, Sum
+
+    from engine.ops.join import skew_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    out = (
+        skew_join(ev, cust, on="user_id", right_on="c_custkey", phi=0.005)
+        .groupby(["event_type", "c_mktsegment"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = sql_round(out["sum_value"], 6)
+    return out
+
+
 def q_rollup_daily_type(sf_dir):
     """GROUP BY ROLLUP(day, event_type): finest level aggregates the
     input once; each subtotal level re-aggregates the previous (tiny)
@@ -1042,6 +1064,11 @@ ORACLE_SQL = {
                ROUND(SUM(o_totalprice), 2) AS sum_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment""",
+    "skew_join_events": """
+        SELECT event_type, c_mktsegment, COUNT(*) AS n,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY event_type, c_mktsegment""",
     "broadcast_nation": """
         SELECT n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS sum_acctbal
         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
@@ -1243,6 +1270,7 @@ QUERIES = {
     "topk_per_user": q_topk_per_user,
     "filter_scan": q_filter_scan,
     "join_orders_customer": q_join_orders_customer,
+    "skew_join_events": q_skew_join_events,
     "broadcast_nation": q_broadcast_nation,
     "semi_customers": q_semi_customers,
     "anti_low_value": q_anti_low_value,

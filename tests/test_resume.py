@@ -108,3 +108,36 @@ def test_time_travel_overwrite_preserves_old_fragments(ray_session, tmp_path):
     assert TableIO.read(uri, version=1).count() == 7
     v0 = sorted(TableIO.read(uri, version=0).to_pandas()["id"])
     assert v0 == list(range(100))
+
+
+def test_compact_merges_small_fragments_and_preserves_time_travel(ray_session, tmp_path):
+    import ray.data as rd
+
+    from engine.io.table_io import TableIO
+
+    uri = str(tmp_path / "tbl")
+    # 6 small fragments of 100 rows each
+    for i in range(6):
+        ds = rd.range(100).map_batches(
+            lambda t, off=i * 100: t.assign(id=t["id"] + off), batch_format="pandas")
+        TableIO.write(ds.repartition(1), uri, mode="append" if i else "overwrite")
+    before = TableIO.manifest(uri)
+    assert len(before["fragments"]) == 6
+
+    after = TableIO.compact(uri, target_rows=250)
+    assert after["rows"] == 600
+    assert len(after["fragments"]) < 6
+    assert after["compaction_of"] == before["version"]
+    # big-enough fragments carried verbatim vs merged groups recorded
+    assert any("compacted_from" in f for f in after["fragments"])
+
+    # latest read sees identical data
+    got = sorted(TableIO.read(uri).to_pandas()["id"].tolist())
+    assert got == list(range(600))
+    # time travel to the pre-compaction version still works (old files intact)
+    old = sorted(TableIO.read(uri, version=before["version"]).to_pandas()["id"].tolist())
+    assert old == list(range(600))
+
+    # fragments at/above target are never rewritten
+    man3 = TableIO.compact(uri, target_rows=250)
+    assert man3["version"] == after["version"]  # idempotent: nothing left to merge
