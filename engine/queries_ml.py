@@ -332,6 +332,44 @@ def q_dup_groups(sf_dir):
     return out.sort_values("id").reset_index(drop=True)
 
 
+def q_dedup_keep_best(sf_dir):
+    """End-to-end curation composite: minhash near-dup pairs ->
+    connected components -> keep ONE canonical doc per dup group (max
+    n_chars, tie-break min doc_id) plus every unpaired doc. The group
+    map covers only PAIRED docs (bounded by the near-dup rate, not the
+    corpus), so it broadcasts; survivors are picked by the two-level
+    grouped top-k. Rows-only (components aren't SQL-expressible);
+    invariants pytest in tests/test_neardup.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.ops.agg import grouped_topk
+    from engine.ops.join import broadcast_lookup
+    from engine.ops.neardup import dup_groups
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    groups = dup_groups(_minhash_pairs(sf_dir))  # (id, group) for paired docs only
+    tagged = broadcast_lookup(docs, groups, on="doc_id", right_on="id", how="left")
+
+    def keep_ungrouped(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["group_id"])).drop_columns(["group_id"])
+
+    def keep_grouped(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["group_id"]))
+
+    solo = tagged.map_batches(keep_ungrouped, batch_format="pyarrow", zero_copy_batch=True)
+    best = grouped_topk(tagged.map_batches(keep_grouped, batch_format="pyarrow",
+                                           zero_copy_batch=True),
+                        "group_id", "n_chars", k=1, descending=True, tie_break="doc_id")
+
+    def strip_group(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["group_id"])
+
+    kept = solo.union(best.map_batches(strip_group, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+    return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ ann --
 
 def _query_vectors(sf_dir, n=5):
@@ -754,6 +792,7 @@ QUERIES_ML = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "normalize_text": q_normalize_text,
+    "dedup_keep_best": q_dedup_keep_best,
     "chunk_documents": q_chunk_documents,
     "line_dedup": q_line_dedup,
     "gopher_quality_filter": q_gopher_quality_filter,

@@ -345,3 +345,27 @@ def test_dup_groups_auto_dispatch_matches_distributed(ray_session):
     forced = (dup_groups(rd.from_pandas(pairs), small_threshold=0).to_pandas()
               .sort_values("id").reset_index(drop=True))
     pd.testing.assert_frame_equal(forced, dist)
+
+
+def test_dedup_keep_best_invariants(ray_session):
+    """Every dup group contributes exactly one survivor (its max-n_chars,
+    min-doc_id member); unpaired docs all survive; no doc appears twice."""
+    from engine.queries_ml import q_dedup_keep_best, q_dup_groups, _read
+
+    sf = "/root/testdata/sf0.001"
+    kept = q_dedup_keep_best(sf)
+    groups = q_dup_groups(sf)
+    docs = _read(sf, "documents", columns=["doc_id", "n_chars"]).to_pandas()
+
+    assert kept["doc_id"].is_unique
+    paired = set(groups["id"])
+    solo = set(docs["doc_id"]) - paired
+    assert solo <= set(kept["doc_id"])  # every unpaired doc survives
+    assert len(kept) == len(solo) + groups["group_id"].nunique()
+    gmap = dict(zip(groups["id"], groups["group_id"]))
+    meta = docs.set_index("doc_id")["n_chars"]
+    kept_paired = [d for d in kept["doc_id"] if d in paired]
+    for d in kept_paired:
+        members = [i for i, g in gmap.items() if g == gmap[d]]
+        best = sorted(members, key=lambda i: (-meta[i], i))[0]
+        assert d == best
