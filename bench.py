@@ -255,7 +255,11 @@ def run_queries(sf_dir: str) -> dict:
              # late round-4 additions: sketches, bloom join, OLAP subtotals,
              # hopping windows, PQ ANN, image near-dup, z-order layout
              "heavy_hitters", "bloom_anti_join", "rollup_daily_type",
-             "hopping_6h", "ann_topk_pq", "image_near_dup", "zorder_events"]
+             "hopping_6h", "ann_topk_pq", "image_near_dup", "zorder_events",
+             # session-2 round-4 additions: value-picker windows, EWMA,
+             # CUBE, corr, text normalization, skew join, canonical dedup
+             "first_last", "ewma_value", "cube_daily_type", "corr_qty_price",
+             "normalize_text", "skew_join_events", "dedup_keep_best"]
     out = {}
     for name in names:
         t0 = time.time()
