@@ -254,3 +254,37 @@ def approx_quantiles(ds, col: str, qs, delta: float = 200.0) -> np.ndarray:
     sort). Rank error empirically <~0.5% at delta=200 (tests/test_freq.py)."""
     d = ds.aggregate(TDigest(on=col, delta=delta, alias_name="td"))["td"]
     return tdigest_quantiles(d, qs)
+
+
+class TDigestPacked(TDigest):
+    """TDigest whose finalized value stays a packed binary blob — the
+    form a grouped aggregate needs (per-group digests must live in an
+    Arrow column; (means, weights) ndarray tuples cannot)."""
+
+    def finalize(self, accumulator):
+        return bytes(accumulator)
+
+
+def grouped_approx_quantiles(ds, key, col: str, qs, delta: float = 200.0,
+                             prefix: str = "q"):
+    """Per-group approximate quantiles: groupby of ~KB t-digest
+    accumulators (ONE exchange of sketches, the value column itself
+    never shuffles), then a vectorized-per-group interpolation finish.
+    The scale complement of agg.grouped_quantiles (exact, which must
+    materialize each group) — use this when single groups exceed a
+    worker's heap. Column names: {prefix}{q*1000:g} (q500 = median)."""
+    qs = list(qs)
+
+    agg = ds.groupby(key).aggregate(TDigestPacked(on=col, delta=delta, alias_name="td"))
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = {k: t[k] for k in keys}
+        blobs = t["td"].to_pylist()  # one per group — post-reduction, tiny
+        est = (np.stack([tdigest_quantiles(_td_unpack(b), qs) for b in blobs])
+               if blobs else np.empty((0, len(qs))))
+        for i, q in enumerate(qs):
+            out[f"{prefix}{q * 1000:g}"] = pa.array(est[:, i], pa.float64())
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -514,6 +514,17 @@ def q_approx_distinct_users(sf_dir):
     return pd.DataFrame({"n_users_approx": [approx_distinct(ev, "user_id")]})
 
 
+def q_approx_quantiles_by_type(sf_dir):
+    """Per-group t-digest quantiles (one exchange of ~KB sketches; the
+    value column never shuffles) — the scale path beside the exact
+    grouped_quantiles. Rows-only (approximate); pytest asserts <2% rank
+    error per group and merge invariance (tests/test_freq.py)."""
+    from engine.ops.freq import grouped_approx_quantiles
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_approx_quantiles(ev, "event_type", "value", qs=[0.1, 0.5, 0.99])
+
+
 def q_approx_distinct_by_type(sf_dir):
     """GROUPED HLL: ~distinct users per event_type in one
     groupby-of-sketches exchange (register arrays max-combine, so the
@@ -1284,6 +1295,7 @@ QUERIES = {
     "except_viewers_only": q_except_viewers_only,
     "approx_distinct_users": q_approx_distinct_users,
     "approx_distinct_by_type": q_approx_distinct_by_type,
+    "approx_quantiles_by_type": q_approx_quantiles_by_type,
     "heavy_hitters": q_heavy_hitters,
     "bloom_anti_join": q_bloom_anti_join,
     "approx_quantiles_value": q_approx_quantiles_value,

@@ -124,3 +124,45 @@ def test_tdigest_merge_invariance(ray_session):
     r16 = np.searchsorted(svals, e16) / len(svals)
     assert np.all(np.abs(r2 - qs) < 0.01)
     assert np.all(np.abs(r16 - qs) < 0.01)
+
+
+def test_grouped_approx_quantiles_rank_error(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from engine.ops.freq import grouped_approx_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    got = (grouped_approx_quantiles(
+        rd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "value"]),
+        "event_type", "value", qs=[0.1, 0.5, 0.99])
+        .to_pandas().sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    df = con.execute(f"""
+        SELECT event_type, list_sort(list(value)) AS vals
+        FROM read_parquet('{sf}/events.parquet') GROUP BY event_type
+        ORDER BY event_type""").df()
+    assert got["event_type"].tolist() == df["event_type"].tolist()
+    for (_, row), (_, ex) in zip(got.iterrows(), df.iterrows()):
+        vals = np.asarray(ex["vals"])
+        for q, col in [(0.1, "q100"), (0.5, "q500"), (0.99, "q990")]:
+            est = row[col]
+            rank = np.searchsorted(vals, est) / len(vals)
+            assert abs(rank - q) < 0.02, (row["event_type"], q, rank)
+
+
+def test_grouped_approx_quantiles_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from engine.ops.freq import grouped_approx_quantiles
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": [f"g{i}" for i in rng.integers(0, 3, 9000)],
+                       "v": rng.normal(size=9000)})
+    a = (grouped_approx_quantiles(rd.from_pandas(df).repartition(1), "g", "v", [0.5])
+         .to_pandas().sort_values("g").reset_index(drop=True))
+    b = (grouped_approx_quantiles(rd.from_pandas(df).repartition(9), "g", "v", [0.5])
+         .to_pandas().sort_values("g").reset_index(drop=True))
+    # different block splits -> different merge order; estimates agree to
+    # digest resolution, not bit-exactly
+    np.testing.assert_allclose(a["q500"], b["q500"], atol=0.05)
