@@ -50,3 +50,27 @@ def explode(ds, col: str, keep: list[str] | None = None,
         lambda t: explode_batch(t, col, keep, value_name, pos_name),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """UNPIVOT / melt — wide columns to (variable, value) rows, the
+    inverse of agg.pivot. Map-only (no shuffle, streams at read speed):
+    each batch emits len(value_cols) stacked slices built from ONE
+    concat of Arrow takes; values are cast to a common float64 (SQL
+    UNPIVOT requires a shared value type too). Value-exact DuckDB
+    oracle via UNION ALL of per-column SELECTs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = []
+        for c in value_cols:
+            cols = {k: t[k] for k in id_cols}
+            cols[var_name] = pa.array([c] * n, pa.string())
+            cols[value_name] = pc.cast(t[c], pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

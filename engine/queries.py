@@ -850,6 +850,18 @@ def q_dedup_text_md5(sf_dir):
     return content_dedup(docs, "text", order_by="doc_id").select_columns(["doc_id"])
 
 
+def q_melt_lineitem(sf_dir):
+    """UNPIVOT three lineitem measures into (variable, value) rows —
+    map-only inverse of pivot. Value-exact vs UNION ALL."""
+    from engine.ops.explode import melt
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+    return melt(li, ["l_orderkey", "l_linenumber"],
+                ["l_quantity", "l_extendedprice", "l_discount"])
+
+
 def q_unnest_embeddings(sf_dir):
     from engine.ops.explode import explode
 
@@ -1230,6 +1242,16 @@ ORACLE_SQL["rollup_daily_type"] = """
            ROUND(SUM(value), 6) AS sum_value, COUNT(*) AS n
     FROM events GROUP BY ROLLUP(day, event_type)"""
 
+ORACLE_SQL["melt_lineitem"] = """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+           CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           CAST(l_extendedprice AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount',
+           CAST(l_discount AS DOUBLE) FROM lineitem"""
+
 ORACLE_SQL["corr_qty_price"] = """
     SELECT l_returnflag, COUNT(*) AS n,
            ROUND(COVAR_POP(l_quantity, l_extendedprice), 6) AS covar_pop,
@@ -1315,6 +1337,7 @@ QUERIES = {
     "dedup_events": q_dedup_events,
     "dedup_text_md5": q_dedup_text_md5,
     "unnest_embeddings": q_unnest_embeddings,
+    "melt_lineitem": q_melt_lineitem,
     "embedding_l2": q_embedding_l2,
     "embedding_label_stats": q_embedding_label_stats,
 }

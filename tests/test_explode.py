@@ -68,3 +68,23 @@ def test_explode_collect_roundtrip(ray_session):
     for g, o in zip(got["embedding"], orig["embedding"]):
         np.testing.assert_array_equal(np.asarray(g, dtype=np.float32),
                                       np.asarray(o, dtype=np.float32))
+
+
+def test_melt_roundtrip_with_pivot(ray_session):
+    """pivot(melt(wide)) recovers the wide table (mean of a single value
+    per cell = the value itself)."""
+    import ray.data as rd
+
+    from engine.ops.agg import pivot
+    from engine.ops.explode import melt
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
+                       "a": rng.normal(size=500), "b": rng.normal(size=500)})
+    long = melt(rd.from_pandas(df).repartition(4), ["k"], ["a", "b"])
+    assert long.count() == 1000
+    back = (pivot(long, index="k", column="variable", value="value",
+                  categories=["a", "b"], agg="mean")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    np.testing.assert_allclose(back["mean_value_a"], df["a"], rtol=1e-12)
+    np.testing.assert_allclose(back["mean_value_b"], df["b"], rtol=1e-12)
