@@ -259,7 +259,8 @@ def run_queries(sf_dir: str) -> dict:
              # session-2 round-4 additions: value-picker windows, EWMA,
              # CUBE, corr, text normalization, skew join, canonical dedup
              "first_last", "ewma_value", "cube_daily_type", "corr_qty_price",
-             "normalize_text", "skew_join_events", "dedup_keep_best"]
+             "normalize_text", "skew_join_events", "dedup_keep_best",
+             "approx_quantiles_by_type", "melt_lineitem"]
     out = {}
     for name in names:
         t0 = time.time()
