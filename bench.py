@@ -264,10 +264,16 @@ def run_queries(sf_dir: str) -> dict:
     out = {}
     for name in names:
         t0 = time.time()
-        res = catalog[name](sf_dir)
-        if isinstance(res, ray.data.Dataset):
-            res.count()  # force full execution of the lazy plan
-        out[name] = round(time.time() - t0, 3)
+        try:
+            res = catalog[name](sf_dir)
+            if isinstance(res, ray.data.Dataset):
+                res.count()  # force full execution of the lazy plan
+            out[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — one crash must not lose
+            # the remaining queries' timings (ADVICE r4 re skew_join@32cpu)
+            print(f"bench query {name} FAILED: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+            out[name] = None
     return out
 
 

@@ -17,3 +17,11 @@ the Ray session (driver contract, ``__ray_entry__.py``).
 """
 
 __version__ = "0.1.0"
+
+# Install the Ray 2.49 hash-shuffle schema-broadcast fix (empty first
+# block drops the schema broadcast → 0-column partitions → ArrowInvalid
+# in Dataset.join at high parallelism). Driver-side, idempotent, no
+# ray.init(). See engine/ray_patches.py for the full mechanism.
+from engine.ray_patches import apply_hash_shuffle_schema_patch as _apply_hs_patch
+
+_apply_hs_patch()

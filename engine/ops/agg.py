@@ -529,18 +529,31 @@ def grouped_corr(ds, key, x: str, y: str, round_digits: int = 6):
     Shape: per-batch moment partials (n, Σx, Σy, Σx², Σy², Σxy — ONE
     Arrow group_by per batch, at most |groups| rows each) -> one tiny
     groupby-sum exchange -> vectorized finish. The input columns never
-    shuffle. Partial sums accumulate in longdouble inside each batch;
-    the raw-moment form loses ~2 digits to cancellation when
-    |mean| >> stddev, so pre-center wide-magnitude columns (e.g.
-    epoch-microsecond timestamps) before calling — documented contract,
-    same as every raw-moment engine."""
+    shuffle. Partial sums accumulate in longdouble inside each batch.
+    The raw-moment form loses ~2 digits to cancellation when
+    |mean| >> stddev, so both columns are pre-centered by a GLOBAL
+    shift estimated from the first ~8k rows (one bounded driver-side
+    peek; corr and covariance are exactly shift-invariant, so any
+    shift — even a poor estimate — only helps conditioning; ADVICE
+    r4). Wide-magnitude columns like epoch-microsecond timestamps are
+    therefore safe without caller-side centering."""
+    import math
+
     from ray.data.aggregate import Sum
 
     keys = [key] if isinstance(key, str) else list(key)
 
+    peek = ds.limit(8192).select_columns([x, y]).to_pandas()
+    shift_x = float(peek[x].mean()) if len(peek) else 0.0
+    shift_y = float(peek[y].mean()) if len(peek) else 0.0
+    if not math.isfinite(shift_x):
+        shift_x = 0.0
+    if not math.isfinite(shift_y):
+        shift_y = 0.0
+
     def partial(t: pa.Table) -> pa.Table:
-        xv = t[x].to_numpy(zero_copy_only=False).astype(np.longdouble)
-        yv = t[y].to_numpy(zero_copy_only=False).astype(np.longdouble)
+        xv = t[x].to_numpy(zero_copy_only=False).astype(np.longdouble) - shift_x
+        yv = t[y].to_numpy(zero_copy_only=False).astype(np.longdouble) - shift_y
         g = pa.table({
             **{k: t[k] for k in keys},
             "_n": pa.array(np.ones(len(xv), np.int64)),

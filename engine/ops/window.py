@@ -398,6 +398,13 @@ def with_first_last(
     SQL NTH_VALUE; rows whose entity has fewer than n events get null."""
     import pyarrow.compute as pc
 
+    bad = [k for k in nth if k < 1]
+    if bad:
+        # k=0/negative would index the PREVIOUS entity's segment while the
+        # (ends-starts)>=k validity mask stays true — silently wrong, so
+        # reject up front (ADVICE r4)
+        raise ValueError(f"with_first_last: nth entries are 1-based, got {bad}")
+
     def fn(t: pa.Table) -> pa.Table:
         t = _strip(t)
         if t.num_rows == 0:

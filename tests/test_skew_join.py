@@ -100,3 +100,60 @@ def test_skew_join_all_keys_hot(ray_session):
             .sort_values(["k", "lv"]).reset_index(drop=True))
     assert len(got) == len(want)
     np.testing.assert_allclose(got["rv"].to_numpy(), want["rv"].to_numpy())
+
+
+def test_join_empty_first_block_high_partitions(ray_session):
+    """Regression for CORRECTNESS_r04 skew_join_events @ num_cpus=32.
+
+    Ray 2.49's hash-shuffle broadcasts schemas via the FIRST block of
+    each input; if that block is empty the broadcast is silently dropped
+    and partitions that receive no data build 0-column tables — Acero
+    then dies with ArrowInvalid 'No match ... FieldRef.Name(k)'. The
+    engine installs engine/ray_patches.py at import; this test pins the
+    exact failing regime: empty blocks FIRST, num_partitions >> non-empty
+    blocks, so most aggregator partitions see only the schema broadcast.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from engine.ops.join import equi_join
+
+    empty_l = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.float64())})
+    full_l = pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array([1.0, 2.0, 3.0])})
+    empty_r = pa.table({"k": pa.array([], pa.int64()), "w": pa.array([], pa.float64())})
+    full_r = pa.table({"k": pa.array([2, 3, 4], pa.int64()), "w": pa.array([4.0, 5.0, 6.0])})
+    left = rd.from_arrow_refs([ray.put(empty_l)] * 6 + [ray.put(full_l)])
+    right = rd.from_arrow_refs([ray.put(empty_r)] * 6 + [ray.put(full_r)])
+    out = equi_join(left, right, "k", num_partitions=16).to_pandas()
+    assert sorted(out["k"].tolist()) == [2, 3]
+
+
+def test_skew_join_high_block_count_parity(skewed):
+    """skew_join with block count >> CPU count (the 32-cpu driver regime
+    scaled to the 4-cpu test session): the cold filters emit many empty
+    blocks and the cold join runs at high num_partitions — must still be
+    value-exact (ADVICE r4: the old parity tests only ran at
+    repartition(8)/(4) and never hit the empty-block regime).
+
+    num_partitions is 16, not 32: Ray 2.49's aggregator pool sizes actor
+    CPU shares from the CLUSTER config, and 32 aggregators deadlock on
+    the 4-CPU test session (verified: pure Dataset.join with
+    num_partitions=32 hangs at 4 CPUs before any engine code runs);
+    64 mostly-empty input blocks into 16 partitions still exercises
+    partitions whose only input is the schema broadcast."""
+    from engine.ops.join import skew_join
+
+    dl, dr, left, right = skewed
+    got = (skew_join(dl.repartition(64), dr.repartition(32), on="k",
+                     right_on="rk", phi=0.05, num_partitions=16)
+           .to_pandas()
+           .sort_values(["k", "lv", "rv"], na_position="first").reset_index(drop=True))
+    want = _expected(left, right, "inner")
+    assert len(got) == len(want)
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    for c in got.columns:
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=np.float64), want[c].to_numpy(dtype=np.float64),
+            rtol=0, atol=0, err_msg=c)
