@@ -18,10 +18,17 @@ the Ray session (driver contract, ``__ray_entry__.py``).
 
 __version__ = "0.1.0"
 
-# Install the Ray 2.49 hash-shuffle schema-broadcast fix (empty first
-# block drops the schema broadcast → 0-column partitions → ArrowInvalid
-# in Dataset.join at high parallelism). Driver-side, idempotent, no
+# Install the Ray 2.49 empty-block schema fixes: (1) hash-shuffle schema
+# broadcast survives an empty first block (else 0-column partitions →
+# ArrowInvalid in Dataset.join at high parallelism); (2) sort-exchange
+# reduces keep the mapper schema for all-empty ranges (else 0-column
+# blocks → executor "new schema: ." warnings and join crashes further
+# downstream). Driver-side + per-reduce-worker, idempotent, no
 # ray.init(). See engine/ray_patches.py for the full mechanism.
+from engine.ray_patches import apply_empty_bundle_normalize_patch as _apply_warn_patch
 from engine.ray_patches import apply_hash_shuffle_schema_patch as _apply_hs_patch
+from engine.ray_patches import apply_sort_schema_patch as _apply_sort_patch
 
 _apply_hs_patch()
+_apply_sort_patch()
+_apply_warn_patch()

@@ -384,13 +384,21 @@ def _verify_jaccard_distributed(ds, cands, id_col: str, text_col: str,
     # overhead (measured: the two verify joins dominated the sf0.1 bench).
     by_bytes = max(2, input_disk_bytes(ds) // (32 << 20) + 1)
     P = max(2, min(_cpus() // 2, 16, by_bytes))
-    cands = cands.materialize()
-    sh = sh.materialize()
-    # rename between joins: Ray only suffixes COLLIDING columns
+    from engine.ops.util import drop_empty_blocks
+
+    cands = drop_empty_blocks(cands.materialize())
+    sh = drop_empty_blocks(sh.materialize())
+    # rename between joins: Ray only suffixes COLLIDING columns.
+    # drop_empty_blocks between the joins is LOAD-BEARING, not cosmetic:
+    # rename_columns BYPASSES empty blocks (ray 2.49 skips map UDFs on
+    # 0-row blocks), so an empty join-output partition would carry a
+    # stale un-renamed `shingles` column into the second join, collide
+    # with the right side's payload and null the renamed column
+    # (regression: degenerate-bucket test, round 5).
     j = equi_join(cands, sh, on="a", right_on=id_col,
                   num_partitions=P).rename_columns(
         {"shingles": "shingles_a"}).materialize()
-    j = equi_join(j, sh, on="b", right_on=id_col,
+    j = equi_join(drop_empty_blocks(j), sh, on="b", right_on=id_col,
                   num_partitions=P).rename_columns(
         {"shingles": "shingles_b"})
 

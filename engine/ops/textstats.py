@@ -117,13 +117,17 @@ class QualityScorer:
             + 0.25 * (1.0 - n_punct / nz)
             + 0.25 * np.minimum(stop_ratio * 2.0, 1.0)
         )
+        # DuckDB-compatible ROUND (half AWAY from zero, not np.round's
+        # half-even): x*1e6 can land exactly on a dyadic .5 (e.g. score
+        # 0.7105625 -> 710562.5) where the two conventions diverge
+        score = np.trunc(score * 1e6 + 0.5) / 1e6
         return pa.table({
             self.id_col: t[self.id_col],
             "n_chars": pa.array(n_chars),
             "n_nonspace": pa.array(n_nonspace),
             "n_digits": pa.array(n_digits),
             "n_punct": pa.array(n_punct),
-            "quality_score": pa.array(np.round(score, 6)),
+            "quality_score": pa.array(score),
         })
 
 
@@ -231,7 +235,8 @@ class LangId:
         langs = np.where(best > 0, np.asarray(lang_names, dtype=object)[best_i], "und")
         lens = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
         norm = best / np.maximum(1.0, lens / 10.0)
-        out_scores = np.round(np.minimum(norm, 1.0), 6)
+        # half-away rounding (DuckDB ROUND semantics; see QualityScorer)
+        out_scores = np.trunc(np.minimum(norm, 1.0) * 1e6 + 0.5) / 1e6
         return pa.table({
             self.id_col: t[self.id_col],
             "pred_lang": pa.array(langs.tolist(), type=pa.string()),

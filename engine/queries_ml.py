@@ -556,10 +556,99 @@ def _weighted_sample_oracle() -> str:
                                cols="doc_id, n_chars")
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB twin of engine/ops/textstats.py LangId, generated from the
+    SAME _PROFILES constant. Per-gram non-overlapping substring counts
+    via the replace trick ((len - len(replace))/3 — identical semantics
+    to pc.count_substring / str.count); weights written as Python float
+    repr so both sides multiply the same doubles in the same rank order
+    (left-associative + chain == numpy's sequential +=); first-wins
+    argmax via the ordered CASE; half-away ROUND both sides."""
+    from engine.ops.textstats import _PROFILES
+
+    langs = list(_PROFILES)
+    score_exprs = []
+    for lang in langs:
+        terms = []
+        for r, g in enumerate(_PROFILES[lang]):
+            w = 1.0 / (r + 1)
+            terms.append(
+                f"{w!r} * CAST((length(tl) - length(replace(tl, '{g}', ''))) // 3"
+                f" AS DOUBLE)")
+        score_exprs.append(f"({' + '.join(terms)}) AS s_{lang}")
+    # first maximum in _PROFILES order, mirroring np.argmax
+    case_branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1:]]
+        case_branches.append(
+            f"WHEN {' AND '.join(conds)} THEN '{lang}'" if conds
+            else f"ELSE '{lang}'")
+    best = f"greatest({', '.join('s_' + la for la in langs)})"
+    return f"""
+        WITH t AS (SELECT doc_id, lower(text) AS tl FROM documents),
+        s AS (SELECT doc_id, tl, {', '.join(score_exprs)} FROM t),
+        b AS (SELECT doc_id, tl, {best} AS best,
+                     CASE {' '.join(case_branches)} END AS arg
+              FROM s)
+        SELECT doc_id,
+               CASE WHEN best > 0 THEN arg ELSE 'und' END AS pred_lang,
+               ROUND(least(best / greatest(1.0, length(tl) / 10.0), 1.0), 6)
+                 AS lang_score
+        FROM b"""
+
+
 ORACLE_SQL_ML = {
     "split_assign": _split_assign_oracle(),
     "tfidf_top_terms": _TFIDF_ORACLE,
     "weighted_sample": _weighted_sample_oracle(),
+    "lang_id": _lang_id_oracle(),
+    # Both token counts are RE2 kernels in the engine
+    # (engine/ops/textstats.py TokenCounter); DuckDB regexp_* is the
+    # same RE2, so counts are value-exact. n_tokens_ws mirrors
+    # utf8_trim_whitespace + split(\s+): trim via regexp_replace (SQL
+    # trim() only strips spaces), split of '' yields [''] on both sides.
+    "token_counts": r"""
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(
+                 regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT)
+            AS n_tokens_ws,
+          CAST(len(regexp_extract_all(text,
+                 '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
+             + len(regexp_extract_all(text, '\s[\t\n\r\f]\S')) AS BIGINT)
+            AS n_tokens_bpe
+        FROM documents""",
+    # Same double arithmetic, op order and operand types as
+    # QualityScorer (engine/ops/textstats.py:114): each term is an
+    # int->double division, + is left-associative both sides, and exact
+    # 1e-6 rounding ties are impossible for binary doubles (a dyadic
+    # rational can't equal (2m+1)/2e6), so np.round's half-even vs SQL
+    # ROUND's half-away never diverges. n_stop/greatest(n_words,1)
+    # covers the zero-word case (n_stop is 0 then), matching np.where.
+    "quality_score": r"""
+        WITH w AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+                 length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+                 list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             x -> length(x) > 0) AS ws
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_chars, n_digits, n_punct,
+                 CAST(greatest(n_nonspace, 1) AS DOUBLE) AS nz,
+                 len(ws) AS n_words,
+                 len(list_filter(ws, x -> list_contains(
+                     ['the','a','an','and','or','of','to','in','is','are','was',
+                      'were','be','been','it','this','that','for','on','with',
+                      'as','at','by','from'], x))) AS n_stop
+          FROM w)
+        SELECT doc_id,
+               ROUND(0.25 * least(n_chars / 500.0, 1.0)
+                   + 0.25 * (1.0 - n_digits / nz)
+                   + 0.25 * (1.0 - n_punct / nz)
+                   + 0.25 * least((n_stop / CAST(greatest(n_words, 1) AS DOUBLE))
+                                  * 2.0, 1.0), 6) AS quality_score
+        FROM c""",
     # DuckDB regexp_* is RE2, the same engine behind Arrow's
     # count_substring_regex / replace_substring_regex — identical match
     # and GlobalReplace semantics, so this is value-exact. Counts are
