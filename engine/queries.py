@@ -44,10 +44,35 @@ def _read(sf_dir: str, name: str, columns=None):
     key = (sf_dir, name, tuple(columns) if columns else None)
     ds = _READ_CACHE.get(key)
     if ds is None:
-        # strip the parquet pandas metadata: it makes pa.Schema UNHASHABLE
-        # (metadata dict), which defeats Ray's schema-dedup fast path and
-        # logs a warning in every reduce task downstream
-        ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns).map_batches(
+        import os
+
+        # Small files get a size-derived block count instead of Ray's
+        # 2xCPU default split: at 32 CPUs a 200 KB table becomes a
+        # 64-task read whose scheduling costs ~0.4 s PER QUERY (measured:
+        # trivial filter 0.48 s default vs 0.06 s at 1 block — x101
+        # contract queries is most of the driver's wall budget). Large
+        # inputs keep Ray's own sizing (~128 MB target blocks), which is
+        # the correct 100 TB behavior — this override only ever REDUCES
+        # task count for inputs that fit a few blocks anyway.
+        path = f"{sf_dir}/{name}.parquet"
+        nbytes = os.path.getsize(path)
+        kw = {}
+        if nbytes < (64 << 20):
+            blocks = max(1, nbytes // (4 << 20))
+            if name == "documents":
+                # text analytics are compute-heavy PER ROW (shingle
+                # explode, signatures, regex passes) while the file is
+                # byte-small — a 1-block read serializes the whole fused
+                # read->explode stage (measured: ngram_jaccard at sf0.1
+                # 10.9 s -> 142 s). Floor the block count at ~64 rows
+                # per block from the parquet footer (one cheap metadata
+                # read; plan is cached per session).
+                import pyarrow.parquet as pq
+
+                rows = pq.ParquetFile(path).metadata.num_rows
+                blocks = max(blocks, rows // 64)
+            kw["override_num_blocks"] = blocks
+        ds = rd.read_parquet(path, columns=columns, **kw).map_batches(
             lambda t: t.replace_schema_metadata(None),
             batch_format="pyarrow", zero_copy_batch=True)
         # the appended map_batches makes ds.input_files() return [] (Ray
