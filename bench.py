@@ -260,7 +260,10 @@ def run_queries(sf_dir: str) -> dict:
              # CUBE, corr, text normalization, skew join, canonical dedup
              "first_last", "ewma_value", "cube_daily_type", "corr_qty_price",
              "normalize_text", "skew_join_events", "dedup_keep_best",
-             "approx_quantiles_by_type", "melt_lineitem"]
+             "approx_quantiles_by_type", "melt_lineitem",
+             # round-5 additions
+             "row_index_events", "impute_value", "token_counts",
+             "quality_score", "lang_id"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -68,3 +68,35 @@ def normalize_fv(ds, col: str = "fv", eps: float | None = None, stats=None):
         )
 
     return ds.map_batches(zmap, batch_format="pyarrow", zero_copy_batch=True), kept
+
+
+def impute_mean(ds, cols: list[str], round_digits: int | None = None):
+    """Missing-value imputation: fill NULLs in `cols` with each column's
+    GLOBAL mean of the non-null values (reference R3 semantics — the
+    column-mean imputation path — recast Ray-Data-first).
+
+    Shape: one tree aggregate (Mean per column, no shuffle — nulls are
+    ignored by Ray's Mean exactly as by SQL AVG) -> scalars broadcast in
+    the map closure -> one `pc.fill_null` kernel per column per batch.
+    The data streams through once; nothing row-scaled reaches the
+    driver. `round_digits` rounds the FILLED values only (DuckDB ROUND
+    half-away semantics) so a distributed mean compares value-exactly
+    against a SQL AVG twin."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Mean
+
+    stats = ds.aggregate(*[Mean(c, alias_name=f"m_{c}") for c in cols])
+    fills = {c: float(stats[f"m_{c}"]) for c in cols}
+    if round_digits is not None:
+        m = 10.0 ** round_digits
+        fills = {c: np.trunc(abs(v) * m + 0.5) / m * (1 if v >= 0 else -1)
+                 for c, v in fills.items()}
+
+    def fill(t: pa.Table) -> pa.Table:
+        for c, v in fills.items():
+            col = t[c]
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pc.fill_null(col, pa.scalar(v, col.type)))
+        return t
+
+    return ds.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)

@@ -371,6 +371,39 @@ def q_topk_orders(sf_dir):
     )
 
 
+def q_row_index_events(sf_dir):
+    """Deterministic global row index (distributed zipWithIndex): sort by
+    event_id, append 0-based position. One range-partitioned sort + a
+    metadata-only prefix sum (engine/ops/indexing.py). Value-exact vs
+    ROW_NUMBER() OVER (ORDER BY event_id) - 1."""
+    from engine.ops.indexing import with_row_index
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    out = with_row_index(ev, by="event_id")
+    return out.select_columns(["event_id", "idx"])
+
+
+def q_impute_value(sf_dir):
+    """Column-mean missing-value imputation (reference R3 semantics): a
+    deterministic null mask (click rows) is filled with the global mean
+    of the surviving values — one tree aggregate, one fill_null map,
+    nothing row-scaled on the driver (engine/ops/normalize.py). The fill
+    value is rounded(6) on both sides so the distributed mean compares
+    value-exactly vs the SQL AVG twin."""
+    from engine.ops.normalize import impute_mean
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def mask(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["event_type"], "click")
+        masked = pc.if_else(keep, t["value"], pa.scalar(None, pa.float64()))
+        return pa.table({"event_id": t["event_id"], "value_n": masked})
+
+    masked = _keep_tag(ev.map_batches(mask, batch_format="pyarrow",
+                                      zero_copy_batch=True), ev)
+    return impute_mean(masked, ["value_n"], round_digits=6)
+
+
 def q_topk_per_user(sf_dir):
     """Top-2 highest-value events per user (grouped top-k)."""
     from engine.ops.agg import grouped_topk
@@ -1139,6 +1172,19 @@ ORACLE_SQL = {
         FROM lineitem
         WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "row_index_events": """
+        SELECT event_id,
+               ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS idx
+        FROM events""",
+    "impute_value": """
+        WITH m AS (
+          SELECT event_id,
+                 CASE WHEN event_type <> 'click' THEN value END AS value_n
+          FROM events)
+        SELECT event_id,
+               COALESCE(value_n, (SELECT ROUND(AVG(value_n), 6) FROM m))
+                 AS value_n
+        FROM m""",
     "topk_orders": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
@@ -1368,6 +1414,8 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "topk_orders": q_topk_orders,
+    "row_index_events": q_row_index_events,
+    "impute_value": q_impute_value,
     "topk_per_user": q_topk_per_user,
     "filter_scan": q_filter_scan,
     "join_orders_customer": q_join_orders_customer,
