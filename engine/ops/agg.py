@@ -592,3 +592,45 @@ def grouped_corr(ds, key, x: str, y: str, round_digits: int = 6):
         return pa.table(out)
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def union_by_name(*datasets):
+    """Schema-evolving UNION ALL BY NAME: rows of every input, columns
+    matched by NAME; columns absent from an input come back as typed
+    nulls (the lakehouse append path where newer shards gained columns).
+
+    The unified Arrow schema (pa.unify_schemas with type promotion) is
+    computed once driver-side from the inputs' schemas — metadata only;
+    each input then gets ONE map stage that pads missing columns with
+    nulls, casts, and aligns column order, so the union itself is the
+    ordinary zero-movement Ray union of schema-identical streams."""
+    from engine.ops.util import arrow_schema
+
+    schemas = [arrow_schema(ds) for ds in datasets]
+    unified = pa.unify_schemas(schemas, promote_options="permissive")
+    names = unified.names
+
+    def aligner(have: frozenset):
+        def align(t: pa.Table) -> pa.Table:
+            cols = []
+            for n in names:
+                f = unified.field(n)
+                if n in have:
+                    c = t[n]
+                    cols.append(c.cast(f.type) if c.type != f.type else c)
+                else:
+                    cols.append(pa.nulls(t.num_rows, f.type))
+            return pa.Table.from_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in cols], names=names)
+        return align
+
+    aligned = [
+        ds.map_batches(aligner(frozenset(s.names)), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        for ds, s in zip(datasets, schemas)
+    ]
+    out = aligned[0]
+    for ds in aligned[1:]:
+        out = out.union(ds)
+    return out

@@ -371,6 +371,19 @@ def q_topk_orders(sf_dir):
     )
 
 
+def q_union_by_name(sf_dir):
+    """Schema-evolving UNION ALL BY NAME: two shards with different
+    column sets union into the unified schema, absent columns as typed
+    nulls (engine/ops/agg.py union_by_name — one driver-side schema
+    unification, one null-pad map per input, zero-movement union)."""
+    from engine.ops.agg import union_by_name
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+    views = _filter_type(ev, "view").select_columns(["event_id", "user_id"])
+    buys = _filter_type(ev, "purchase").select_columns(["event_id", "value"])
+    return union_by_name(views, buys)
+
+
 def q_row_index_events(sf_dir):
     """Deterministic global row index (distributed zipWithIndex): sort by
     event_id, append 0-based position. One range-partitioned sort + a
@@ -1172,6 +1185,10 @@ ORACLE_SQL = {
         FROM lineitem
         WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "union_by_name": """
+        SELECT event_id, user_id FROM events WHERE event_type = 'view'
+        UNION ALL BY NAME
+        SELECT event_id, value FROM events WHERE event_type = 'purchase'""",
     "row_index_events": """
         SELECT event_id,
                ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS idx
@@ -1414,6 +1431,7 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "topk_orders": q_topk_orders,
+    "union_by_name": q_union_by_name,
     "row_index_events": q_row_index_events,
     "impute_value": q_impute_value,
     "topk_per_user": q_topk_per_user,

@@ -48,3 +48,19 @@ def test_impute_mean_fills_with_global_mean(ray_session):
     want_mean = np.nanmean(df["x"].to_numpy())
     np.testing.assert_allclose(
         out["x"].to_numpy(), [1.0, want_mean, 3.0, want_mean, 5.0, 7.0])
+
+
+def test_union_by_name_pads_typed_nulls(ray_session):
+    import ray.data as rd
+
+    from engine.ops.agg import union_by_name
+
+    a = rd.from_pandas(pd.DataFrame({"id": np.array([1, 2], np.int64),
+                                     "x": [1.5, 2.5]}))
+    b = rd.from_pandas(pd.DataFrame({"id": np.array([3], np.int64),
+                                     "y": ["s"]}))
+    out = union_by_name(a, b).to_pandas().sort_values("id").reset_index(drop=True)
+    assert sorted(out.columns) == ["id", "x", "y"]
+    assert out["id"].tolist() == [1, 2, 3]
+    assert out["x"].isna().tolist() == [False, False, True]
+    assert out["y"].isna().tolist() == [True, True, False]
