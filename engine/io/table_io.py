@@ -191,3 +191,104 @@ class TableIO:
         tmp.write_text(json.dumps(out, indent=1))
         os.rename(tmp, vdir / f"{next_version}.manifest.json")
         return out
+
+    @staticmethod
+    def upsert(ds, uri: str, key: str, epoch: int = 0) -> dict:
+        """Copy-on-write merge-by-key (the Delta/Iceberg MERGE write
+        mode a feature store needs): rows of ``ds`` REPLACE existing
+        rows sharing their ``key``; unmatched keys append.
+
+        Scale shape: the upsert batch is small relative to the table
+        (the incremental-write pattern) — its key set broadcasts via
+        ``ray.put``. ONE distributed pruned probe pass (key column +
+        ``include_paths``) finds the fragments that contain any matched
+        key; ONLY those fragments are rewritten (anti-filtered through
+        Ray, streamed — never driver-materialized); untouched fragments
+        carry into the new manifest verbatim, so write cost is
+        proportional to affected-fragment volume, not table volume.
+        Older manifest versions keep referencing the original files —
+        time travel shows the pre-upsert table. Commit is the same
+        atomic manifest rename as write()/compact()."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data as rd
+
+        from engine.lineage import Lineage
+
+        man = TableIO.manifest(uri)
+        root = Path(uri)
+        data = root / "data"
+        next_version = man["version"] + 1
+        t0 = time.time()
+
+        ds = ds.materialize()  # consumed twice: key probe + fragment write
+        keys = ds.select_columns([key]).to_pandas()[key].to_numpy()
+        kref = ray.put(pa.array(np.unique(keys)))
+
+        frag_by_path = {f["path"]: f for f in man["fragments"]}
+        paths = [str(root / p) for p in frag_by_path]
+
+        def hits(t: pa.Table) -> pa.Table:
+            vs = ray.get(kref)
+            m = pc.fill_null(pc.is_in(t[key], value_set=vs.cast(t[key].type)), False)
+            return t.filter(m).select(["path"])
+
+        probe = rd.read_parquet(paths, columns=[key], include_paths=True)
+        # unique() returns None on an all-filtered (no-hit) dataset
+        hit_paths = set(probe.map_batches(hits, batch_format="pyarrow",
+                                          zero_copy_batch=True).unique("path") or [])
+        affected = [p for p in paths if p in hit_paths]
+        rel = {str(root / p): p for p in frag_by_path}
+        keep = [frag_by_path[rel[p]] for p in paths if p not in hit_paths]
+
+        lineage = Lineage(uri)
+        fid = max((f["id"] for f in man["fragments"]), default=-1) + 1
+        new_frags = []
+
+        def _land(staging: Path, input_fragments: list[int], tag: str):
+            nonlocal fid
+            for p in sorted(staging.glob("*.parquet")):
+                name = f"frag-{fid}-v{next_version}-epoch-{epoch}.parquet"
+                os.rename(p, data / name)
+                rows = pq.read_metadata(data / name).num_rows
+                new_frags.append({"id": fid, "path": f"data/{name}", "rows": rows,
+                                  **({tag: input_fragments} if input_fragments else {})})
+                lineage.commit(
+                    fid, input_fragments=input_fragments, row_start=0, row_end=rows,
+                    epoch=epoch, rows_out=rows,
+                    bytes_out=(data / name).stat().st_size,
+                    wall_s=time.time() - t0, data_file=f"data/{name}")
+                fid += 1
+            staging.rmdir()
+
+        if affected:
+            def drop_hits(t: pa.Table) -> pa.Table:
+                vs = ray.get(kref)
+                m = pc.fill_null(pc.is_in(t[key], value_set=vs.cast(t[key].type)), False)
+                return t.filter(pc.invert(m))
+
+            staging = root / f".staging-upsert-old-{next_version}"
+            staging.mkdir(parents=True, exist_ok=True)
+            (rd.read_parquet(affected)
+             .map_batches(drop_hits, batch_format="pyarrow", zero_copy_batch=True)
+             .write_parquet(str(staging)))
+            _land(staging, [frag_by_path[rel[p]]["id"] for p in affected],
+                  "rewritten_from")
+
+        staging = root / f".staging-upsert-new-{next_version}"
+        staging.mkdir(parents=True, exist_ok=True)
+        ds.write_parquet(str(staging))
+        _land(staging, [], "")
+
+        frags = sorted(keep, key=lambda f: f["id"]) + new_frags
+        out = {"version": next_version, "created_at": time.time(),
+               "fragments": frags, "rows": sum(f["rows"] for f in frags),
+               "upsert_of": man["version"], "upsert_key": key}
+        vdir = root / "_versions"
+        tmp = vdir / f".tmp-{next_version}.manifest.json"
+        tmp.write_text(json.dumps(out, indent=1))
+        os.rename(tmp, vdir / f"{next_version}.manifest.json")
+        return out

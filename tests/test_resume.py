@@ -141,3 +141,52 @@ def test_compact_merges_small_fragments_and_preserves_time_travel(ray_session, t
     # fragments at/above target are never rewritten
     man3 = TableIO.compact(uri, target_rows=250)
     assert man3["version"] == after["version"]  # idempotent: nothing left to merge
+
+
+def test_upsert_merge_by_key(ray_session, tmp_path):
+    """Copy-on-write MERGE: matched keys replaced, new keys appended,
+    untouched fragments carried verbatim (no rewrite), time travel
+    preserved."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    uri = str(tmp_path / "tbl")
+    base = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                         "v": np.zeros(100)})
+    man0 = TableIO.write(rd.from_pandas(base).repartition(4), uri)
+    # upsert touches keys 0..9 (one fragment's range) and adds 200..204
+    up = pd.DataFrame({"k": np.r_[np.arange(10), np.arange(200, 205)].astype(np.int64),
+                       "v": np.ones(15)})
+    man1 = TableIO.upsert(rd.from_pandas(up), uri, key="k")
+
+    got = TableIO.read(uri).to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(got) == 105
+    np.testing.assert_allclose(got.loc[got["k"] < 10, "v"], 1.0)   # replaced
+    np.testing.assert_allclose(got.loc[(got["k"] >= 10) & (got["k"] < 100), "v"], 0.0)
+    np.testing.assert_allclose(got.loc[got["k"] >= 200, "v"], 1.0)  # appended
+
+    # time travel: the pre-upsert version still reads the original rows
+    old = TableIO.read(uri, version=man0["version"]).to_pandas()
+    assert len(old) == 100 and (old["v"] == 0.0).all()
+
+    # untouched fragments carried verbatim (same file paths as v0)
+    v0_paths = {f["path"] for f in man0["fragments"]}
+    carried = [f for f in man1["fragments"] if f["path"] in v0_paths]
+    assert carried, "expected at least one untouched fragment to carry over"
+    rewritten = [f for f in man1["fragments"] if f.get("rewritten_from")]
+    assert rewritten, "expected the touched fragment(s) to be rewritten"
+
+
+def test_upsert_all_new_keys_appends(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    uri = str(tmp_path / "tbl2")
+    TableIO.write(rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(5, dtype=np.int64), "v": np.zeros(5)})), uri)
+    man = TableIO.upsert(rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(10, 13, dtype=np.int64), "v": np.ones(3)})), uri, key="k")
+    assert man["rows"] == 8
+    assert not [f for f in man["fragments"] if f.get("rewritten_from")]
