@@ -298,6 +298,30 @@ def q_tumbling_daily(sf_dir):
     return out[["user_id", "window_start", "n_events", "sum_value", "min_value", "max_value"]]
 
 
+def q_tumbling_median(sf_dir):
+    """Per-(user, day) exact median + p90 — the windowed-quantile
+    composition: a map-only tumbling window key feeds the grouped exact
+    quantile op (one shuffle, vectorized np.quantile per group ==
+    quantile_cont). Value-exact."""
+    from engine.ops.agg import grouped_quantiles
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        start = pc.multiply(pc.divide(us, 86_400_000_000), 86_400_000_000)
+        return pa.table({
+            "user_id": t["user_id"],
+            "window_start": pc.cast(start, pa.timestamp("us")),
+            "value": t["value"],
+        })
+
+    win = _keep_tag(ev.map_batches(keyed, batch_format="pyarrow",
+                                   zero_copy_batch=True), ev)
+    return grouped_quantiles(win, ["user_id", "window_start"], "value",
+                             qs=(0.5, 0.9), round_digits=6)
+
+
 def q_sessionize(sf_dir):
     from engine.ops.session import sessionize
 
@@ -1264,6 +1288,13 @@ ORACLE_SQL = {
                ROUND(SUM(CASE WHEN event_type='purchase' THEN value ELSE 0 END), 6) AS sum_value_purchase,
                ROUND(SUM(CASE WHEN event_type='click' THEN value ELSE 0 END), 6) AS sum_value_click
         FROM events GROUP BY user_id""",
+    "tumbling_median": """
+        SELECT user_id,
+               make_timestamp((epoch_us(ts)//86400000000)*86400000000)
+                   AS window_start,
+               ROUND(quantile_cont(value, 0.50), 6) AS p50_value,
+               ROUND(quantile_cont(value, 0.90), 6) AS p90_value
+        FROM events GROUP BY 1, 2""",
     "quantiles_by_type": """
         SELECT event_type,
                ROUND(quantile_cont(value, 0.25), 6) AS p25_value,
@@ -1424,6 +1455,7 @@ QUERIES = {
     "rolling_24h": q_rolling_24h,
     "expanding": q_expanding,
     "tumbling_daily": q_tumbling_daily,
+    "tumbling_median": q_tumbling_median,
     "hopping_6h": q_hopping_6h,
     "sessionize": q_sessionize,
     "backfill_daily": q_backfill_daily,
