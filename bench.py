@@ -262,7 +262,8 @@ def run_queries(sf_dir: str) -> dict:
              "normalize_text", "skew_join_events", "dedup_keep_best",
              "approx_quantiles_by_type", "melt_lineitem",
              # round-5 additions
-             "row_index_events", "impute_value", "union_by_name", "tumbling_median", "token_counts",
+             "row_index_events", "impute_value", "union_by_name", "tumbling_median",
+             "asof_multi_horizon", "token_counts",
              "quality_score", "lang_id"]
     out = {}
     for name in names:

@@ -380,3 +380,112 @@ def _make_merge(left_names, out_right_fields, out_schema, on, left_ts, lschema,
         return finish(cols)
 
     return merge
+
+
+def asof_multi_horizon(
+    left,
+    right,
+    on: str,
+    id_col: str,
+    horizons: dict[str, int],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list | None = None,
+    strict: bool = False,
+    tolerance_us: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Multi-horizon point-in-time attach — the feature-store fetch
+    "value as-of t, as-of t-1h, as-of t-24h, ..." — in ONE entity
+    exchange instead of one asof_join per horizon.
+
+    ``horizons``: {name: offset_us}; for each left row and each horizon
+    the greatest right row with right_ts <= left_ts - offset (backward /
+    leakage-safe semantics; ``strict``/``tolerance_us`` as in asof_join)
+    is attached as ``<col>_<name>``. ``id_col`` must uniquely identify
+    left rows (it is how the k probe rows pivot back to one output row).
+
+    Physical plan: a map-only explode emits k probe rows per left row
+    (probe ts = left_ts - offset, horizon ordinal tagged), then the
+    ordinary asof_join runs ONCE with the pivot fused into its
+    map_groups via ``post`` — all k probes of a row share its entity
+    key, so they land in the same partition and the pivot is a
+    partition-local sort + strided take. Exchange volume is k x left
+    (the same rows k separate joins would move) but the fixed exchange
+    cost is paid once.
+    """
+    import pyarrow.compute as pc
+
+    from engine.ops.util import arrow_schema, norm_ts
+
+    names = list(horizons)
+    k = len(names)
+    if k == 0:
+        raise ValueError("asof_multi_horizon: need at least one horizon")
+    offsets = [int(horizons[n]) for n in names]
+
+    lraw = arrow_schema(left)
+    ts_type = norm_ts(lraw.field(left_ts).type)
+    is_ts = pa.types.is_timestamp(ts_type)
+    rraw = arrow_schema(right)
+    if right_cols is None:
+        right_cols = [n for n in rraw.names if n not in (on, right_ts)]
+    left_out = list(lraw.names)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        us = t[left_ts]
+        if isinstance(us, pa.ChunkedArray):
+            us = us.combine_chunks()
+        us = us.cast(pa.int64()) if is_ts else us.cast(pa.int64())
+        parts = []
+        for i, off in enumerate(offsets):
+            probe = pc.subtract(us, pa.scalar(off, pa.int64()))
+            cols = {name: t[name] for name in left_out}
+            cols["__probe"] = probe.cast(ts_type) if is_ts else probe
+            cols["__hz"] = pa.array(np.full(n, i, np.int8))
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    exploded = left.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    if hasattr(left, "_graft_input_files"):
+        exploded._graft_input_files = left._graft_input_files
+
+    attached = [f"{c}_r" for c in right_cols]
+
+    def pivot(t: pa.Table) -> pa.Table:
+        out_names = ([n for n in left_out]
+                     + [f"{c}_{nm}" for nm in names for c in right_cols])
+        if t.num_rows == 0:
+            base = {n: t[n] for n in left_out} if set(left_out) <= set(t.schema.names) else {}
+            if not base:
+                return t
+            for nm in names:
+                for c, a in zip(right_cols, attached):
+                    base[f"{c}_{nm}"] = t[a]
+            return pa.table({n: base[n] for n in out_names})
+        idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending"), ("__hz", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows // k
+        base_idx = pa.array(np.arange(n, dtype=np.int64) * k)
+        cols = {name: t[name].take(base_idx) for name in left_out}
+        for j, nm in enumerate(names):
+            sel = pa.array(np.arange(n, dtype=np.int64) * k + j)
+            for c, a in zip(right_cols, attached):
+                cols[f"{c}_{nm}"] = t[a].take(sel)
+        return pa.table(cols)
+
+    out = asof_join(
+        exploded,
+        right,
+        on=on,
+        left_ts="__probe",
+        right_ts=right_ts,
+        right_cols=right_cols,
+        strict=strict,
+        tolerance_us=tolerance_us,
+        num_partitions=num_partitions,
+        include_right_ts=False,
+        post=pivot,
+    )
+    return out

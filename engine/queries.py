@@ -395,6 +395,22 @@ def q_topk_orders(sf_dir):
     )
 
 
+def q_asof_multi_horizon(sf_dir):
+    """Feature-store multi-lag fetch: for each view event, the latest
+    purchase value as-of t AND as-of t-24h, in ONE entity exchange
+    (engine/ops/asof.py asof_multi_horizon: map-only probe explode ->
+    single asof_join with the pivot fused into its map_groups).
+    Value-exact vs two chained DuckDB ASOF joins."""
+    from engine.ops.asof import asof_multi_horizon
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    views = _filter_type(ev, "view").select_columns(["event_id", "ts", "user_id"])
+    purch = _filter_type(ev, "purchase").select_columns(["ts", "user_id", "value"])
+    out = asof_multi_horizon(views, purch, on="user_id", id_col="event_id",
+                             horizons={"h0": 0, "h24": 24 * 3600 * 1_000_000})
+    return out.select_columns(["event_id", "value_h0", "value_h24"])
+
+
 def q_union_by_name(sf_dir):
     """Schema-evolving UNION ALL BY NAME: two shards with different
     column sets union into the unified schema, absent columns as typed
@@ -1209,6 +1225,15 @@ ORACLE_SQL = {
         FROM lineitem
         WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "asof_multi_horizon": """
+        WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_type='view'),
+             r AS (SELECT ts, user_id, value FROM events WHERE event_type='purchase')
+        SELECT l.event_id, r0.value AS value_h0, r1.value AS value_h24
+        FROM l
+        ASOF LEFT JOIN r r0
+          ON l.user_id = r0.user_id AND l.ts >= r0.ts
+        ASOF LEFT JOIN r r1
+          ON l.user_id = r1.user_id AND l.ts - INTERVAL 24 HOURS >= r1.ts""",
     "union_by_name": """
         SELECT event_id, user_id FROM events WHERE event_type = 'view'
         UNION ALL BY NAME
@@ -1463,6 +1488,7 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "topk_orders": q_topk_orders,
+    "asof_multi_horizon": q_asof_multi_horizon,
     "union_by_name": q_union_by_name,
     "row_index_events": q_row_index_events,
     "impute_value": q_impute_value,

@@ -178,3 +178,43 @@ def test_asof_directions_planted(ray_session):
     assert run(direction="forward", tolerance_us=6) == [-1., 300., -1., -1.]
     # nearest with tolerance: ts=100 is 60 past 40 -> no match
     assert run(direction="nearest", tolerance_us=10) == [200., 200., -1., -1.]
+
+
+def test_asof_multi_horizon_matches_chained(ray_session):
+    """asof_multi_horizon == k independent backward as-of joins on
+    shifted probe timestamps (pandas merge_asof oracle), including the
+    no-match-null edge and high-partition-count invariance."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.ops.asof import asof_multi_horizon
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 4_000, 3_000
+    left = pd.DataFrame({
+        "id": np.arange(n_l, dtype=np.int64),
+        "k": rng.integers(0, 50, n_l).astype(np.int64),
+        "ts": rng.integers(0, 10**9, n_l).astype("datetime64[us]"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 50, n_r).astype(np.int64),
+        "ts": rng.integers(0, 10**9, n_r).astype("datetime64[us]"),
+        "v": rng.normal(size=n_r),
+    })
+    horizons = {"h0": 0, "h1": 3600 * 1_000_000}
+    got = (asof_multi_horizon(rd.from_pandas(left).repartition(8),
+                              rd.from_pandas(right).repartition(4),
+                              on="k", id_col="id", horizons=horizons)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    rs = right.sort_values("ts")
+    for nm, off in horizons.items():
+        probe = left.assign(
+            ts=(left["ts"] - pd.Timedelta(microseconds=off)).astype("datetime64[us]")
+        ).sort_values("ts")
+        want = pd.merge_asof(probe, rs, on="ts", by="k", direction="backward")
+        want = want.sort_values("id").reset_index(drop=True)
+        g = got[f"v_{nm}"].to_numpy()
+        w = want["v"].to_numpy()
+        assert np.isnan(g).tolist() == np.isnan(w).tolist(), nm
+        np.testing.assert_allclose(g[~np.isnan(g)], w[~np.isnan(w)], err_msg=nm)
