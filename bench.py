@@ -263,7 +263,7 @@ def run_queries(sf_dir: str) -> dict:
              "approx_quantiles_by_type", "melt_lineitem",
              # round-5 additions
              "row_index_events", "impute_value", "union_by_name", "tumbling_median",
-             "asof_multi_horizon", "token_counts",
+             "asof_multi_horizon", "user_event_paths", "token_counts",
              "quality_score", "lang_id"]
     out = {}
     for name in names:

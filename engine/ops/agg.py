@@ -634,3 +634,41 @@ def union_by_name(*datasets):
     for ds in aligned[1:]:
         out = out.union(ds)
     return out
+
+
+def grouped_string_agg(ds, key: str, col: str, sep: str = ",",
+                       order_by: str = "ts", tie_break: str | None = None,
+                       out_name: str = "agg", num_partitions: int | None = None):
+    """SQL ``string_agg(col, sep ORDER BY order_by, tie_break)`` per key
+    — the user-journey / event-path feature (one ordered string per
+    entity).
+
+    One entity-hash exchange (the shared window-partition machinery);
+    within each partition the whole thing is vectorized: one
+    (key, order_by, tie) sort, entity boundaries from the sorted codes,
+    then ONE ``pc.binary_join_element_wise``-free list build +
+    ``pc.binary_join`` kernel call over a ListArray sliced at the
+    boundaries — no per-group Python join, no per-group task."""
+    import pyarrow.compute as pc
+
+    from engine.ops.window import _partitioned, _strip
+    from engine.ops.wkernel import entity_sort, segments
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = _strip(t)
+        if t.num_rows == 0:
+            ktype = t.schema.field(key).type if key in t.schema.names else pa.int64()
+            return pa.table({key: pa.chunked_array([], type=ktype),
+                             out_name: pa.chunked_array([], type=pa.string())})
+        t, _codes, _tsv, change = entity_sort(t, key, order_by, tie_break)
+        starts, ends, _seg_id, _pos = segments(change)
+        vals = t[col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        offs = np.concatenate([starts, [t.num_rows]]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
+        joined = pc.binary_join(lst, sep)
+        return pa.table({key: t[key].take(pa.array(starts)),
+                         out_name: joined.cast(pa.string())})
+
+    return _partitioned(ds, key, num_partitions).map_groups(fn, batch_format="pyarrow")

@@ -395,6 +395,20 @@ def q_topk_orders(sf_dir):
     )
 
 
+def q_user_event_paths(sf_dir):
+    """Per-user ordered event-type path string (string_agg ORDER BY —
+    the classic user-journey feature). One entity-hash exchange;
+    partition-local everything-vectorized: one sort, boundary segments,
+    ONE pc.binary_join kernel over a boundary-sliced ListArray (no
+    per-group Python join). Value-exact."""
+    from engine.ops.agg import grouped_string_agg
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    return grouped_string_agg(ev, "user_id", "event_type", sep=">",
+                              order_by="ts", tie_break="event_id",
+                              out_name="path")
+
+
 def q_asof_multi_horizon(sf_dir):
     """Feature-store multi-lag fetch: for each view event, the latest
     purchase value as-of t AND as-of t-24h, in ONE entity exchange
@@ -1225,6 +1239,10 @@ ORACLE_SQL = {
         FROM lineitem
         WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "user_event_paths": """
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id""",
     "asof_multi_horizon": """
         WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_type='view'),
              r AS (SELECT ts, user_id, value FROM events WHERE event_type='purchase')
@@ -1488,6 +1506,7 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "topk_orders": q_topk_orders,
+    "user_event_paths": q_user_event_paths,
     "asof_multi_horizon": q_asof_multi_horizon,
     "union_by_name": q_union_by_name,
     "row_index_events": q_row_index_events,

@@ -64,3 +64,25 @@ def test_union_by_name_pads_typed_nulls(ray_session):
     assert out["id"].tolist() == [1, 2, 3]
     assert out["x"].isna().tolist() == [False, False, True]
     assert out["y"].isna().tolist() == [True, True, False]
+
+
+@pytest.mark.parametrize("nparts", [1, 8])
+def test_grouped_string_agg_ordered(ray_session, nparts):
+    import ray.data as rd
+
+    from engine.ops.agg import grouped_string_agg
+
+    rng = np.random.default_rng(3)
+    n = 3_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "ts": rng.permutation(n).astype(np.int64),
+        "ev": rng.choice(list("abcd"), n),
+    })
+    got = (grouped_string_agg(rd.from_pandas(df).repartition(nparts),
+                              "k", "ev", sep=">", order_by="ts")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.sort_values(["k", "ts"])
+            .groupby("k")["ev"].agg(lambda s: ">".join(s)).reset_index())
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["path" if "path" in got.columns else "agg"].tolist() == want["ev"].tolist()
